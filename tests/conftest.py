@@ -9,13 +9,21 @@ Must set the env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu"
+# programmatically, overriding the env var — undo that for tests.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() >= 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
