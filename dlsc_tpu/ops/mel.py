@@ -65,14 +65,19 @@ class MelConfig:
         return 1 + num_samples // self.hop_length
 
 
-def hann_window(win_length: int, n_fft: int | None = None, dtype=jnp.float32) -> jax.Array:
-    """Periodic Hann window, optionally center-padded to ``n_fft``."""
+def hann_window_np(win_length: int, n_fft: int | None = None) -> np.ndarray:
+    """Periodic Hann window (float64 numpy), center-padded to ``n_fft``."""
     n = np.arange(win_length)
     w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
     if n_fft is not None and n_fft != win_length:
         left = (n_fft - win_length) // 2
         w = np.pad(w, (left, n_fft - win_length - left))
-    return jnp.asarray(w, dtype=dtype)
+    return w
+
+
+def hann_window(win_length: int, n_fft: int | None = None, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window, optionally center-padded to ``n_fft``."""
+    return jnp.asarray(hann_window_np(win_length, n_fft), dtype=dtype)
 
 
 def _hz_to_mel(f: np.ndarray | float, mel_scale: str) -> np.ndarray:

@@ -1,0 +1,210 @@
+"""Fused Pallas TPU kernel for the STFT→mel front-end.
+
+Replaces the torchaudio C++ host pipeline the reference uses
+(reference: src/datasets/preprocessing.py:988-998, src/utils/audio.py:60-84)
+with an on-device kernel: framing + Hann window + real DFT + power + mel
+filterbank, computed per 128-frame tile entirely in VMEM with all three
+contractions on the MXU. The (n_freqs, T) power spectrogram never
+materializes in HBM — HBM traffic is the waveform chunks in and the
+(T, n_mels) mel powers out.
+
+MXU-friendly formulation:
+
+- The Hann window is folded into the DFT matrices:
+  ``real = frames @ (win[:, None] * cos)``, same for sin; framing is a
+  strided VMEM copy and everything else is matmul.
+- The mel filterbank gives **exactly zero** weight to the DC and Nyquist
+  bins (the first triangle rises from f=0, the last falls to f=sr/2), so
+  only bins 1..n_fft/2 are computed: the DFT matmul is a perfectly-tiled
+  (n_fft, n_fft//2) contraction with no padding waste.
+- Mosaic requires VMEM lane offsets divisible by 128 while frame offsets
+  are ``i*hop`` (hop=160). Since lcm(hop, 128) = 4*hop, frame ``i = 4j+r``
+  is misaligned by exactly ``(r*hop) % 128`` ∈ {0, 32, 64, 96}: the kernel
+  pre-rotates the chunk left by those static shifts once, making every
+  frame load 128-aligned in the rotated copy.
+- The waveform is staged as overlapping per-tile chunks (built by one XLA
+  gather) so Pallas's grid pipeline double-buffers the HBM→VMEM copies;
+  dB conversion / AST renorm are cheap XLA epilogues outside the kernel.
+
+Numerics: f32 frames, f32 DFT matrices, MXU with f32 accumulation —
+matches the pure-JAX reference (dlsc_tpu.ops.mel) to ~1e-6 relative.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import gcd as math_gcd
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dlsc_tpu.ops import mel as M
+
+FRAME_TILE = 128  # frames per grid step (MXU sublane-friendly)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mel_constants(cfg: M.MelConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cos_w, sin_w, fb_trim): windowed DFT matrices for bins 1..n_fft/2 and
+    the mel filterbank with the (all-zero) DC row dropped."""
+    n_fft = cfg.n_fft
+    k = np.arange(1, n_fft // 2 + 1, dtype=np.float64)      # bins 1..n_fft/2
+    n = np.arange(n_fft, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft              # (n_fft, n_fft//2)
+    win = M.hann_window_np(cfg.win_length, n_fft)
+    cos_w = (win[:, None] * np.cos(ang)).astype(np.float32)
+    sin_w = (win[:, None] * np.sin(ang)).astype(np.float32)
+    f_max = cfg.f_max if cfg.f_max is not None else cfg.sample_rate / 2.0
+    fb = M._mel_filterbank_np(
+        cfg.n_freqs, cfg.f_min, float(f_max), cfg.n_mels,
+        cfg.sample_rate, cfg.mel_scale, cfg.mel_norm,
+    )
+    assert abs(fb[0]).max() == 0.0, "DC mel weight must be zero"
+    fb_trim = fb[1:, :].astype(np.float32)                  # (n_fft//2, n_mels)
+
+    def split(x):
+        hi = x.astype(ml_dtypes.bfloat16)
+        lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return hi, lo
+
+    return (*split(cos_w), *split(sin_w), *split(fb_trim))
+
+
+def _make_kernel(hop: int, n_fft: int, chunk: int):
+    lane = 128
+    mis0 = hop % lane
+    n_phase = lane // math_gcd(mis0, lane) if mis0 else 1
+    assert (n_phase * hop) % lane == 0, (hop, n_phase)
+    assert FRAME_TILE % n_phase == 0
+
+    def kernel(chunk_ref, cos_hi, cos_lo, sin_hi, sin_lo, fb_hi, fb_lo,
+               out_ref, rolls, frames):
+        stride = n_phase * hop  # aligned frame-group stride
+        for r in range(n_phase):
+            mis = (r * hop) % lane
+            base = r * hop - mis            # 128-aligned residual offset
+            if mis:
+                # left-rotate by mis == right-rotate by (chunk - mis)
+                rolls[0, :] = pltpu.roll(chunk_ref[0, 0], chunk - mis, 1)[0]
+
+            def body(j, _, base=base, r=r, mis=mis):
+                start = pl.multiple_of(j * stride + base, lane)
+                if mis:
+                    frames[n_phase * j + r, :] = rolls[0, pl.ds(start, n_fft)]
+                else:
+                    frames[n_phase * j + r, :] = chunk_ref[0, 0, 0, pl.ds(start, n_fft)]
+                return 0
+
+            jax.lax.fori_loop(0, FRAME_TILE // n_phase, body, 0)
+        # Manual bf16x3 matmuls: single-pass bf16 costs ~3e-3 relative error
+        # (breaks the 1e-3 parity target) and Precision.HIGHEST (f32 multi-
+        # pass) costs ~2x wall time. Splitting each f32 operand into a bf16
+        # high part + bf16 residual and taking the three significant cross
+        # terms recovers ~1e-6 relative accuracy at 3 bf16 MXU passes. The
+        # constant matrices come pre-split from the host.
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot3(a_hi, a_lo, b_hi, b_lo):
+            return d(a_hi, b_hi[:]) + d(a_hi, b_lo[:]) + d(a_lo, b_hi[:])
+
+        f_hi, f_lo = split(frames[:])
+        real = dot3(f_hi, f_lo, cos_hi, cos_lo)
+        imag = dot3(f_hi, f_lo, sin_hi, sin_lo)
+        power = real * real + imag * imag
+        p_hi, p_lo = split(power)
+        out_ref[0] = dot3(p_hi, p_lo, fb_hi, fb_lo)
+
+    return kernel
+
+
+def mel_power_pallas(
+    wave: jax.Array, cfg: M.MelConfig = M.MelConfig(), *, interpret: bool = False
+) -> jax.Array:
+    """Fused mel power spectrogram: (B, T) waveform → (B, n_mels, n_frames).
+
+    Matches ``dlsc_tpu.ops.mel.mel_spectrogram``. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (for CPU tests).
+    """
+    if wave.ndim == 1:
+        return mel_power_pallas(wave[None], cfg, interpret=interpret)[0]
+    assert wave.ndim == 2, wave.shape
+    B, T = wave.shape
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    n_frames = cfg.num_frames(T)
+    n_tiles = pl.cdiv(n_frames, FRAME_TILE)
+    chunk = -(-((FRAME_TILE - 1) * hop + n_fft) // 128) * 128  # lane-aligned
+
+    # center=True reflect pad, then right-pad so every tile's gather is in range.
+    pad = n_fft // 2
+    padded = jnp.pad(wave.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    need = (n_tiles - 1) * (FRAME_TILE * hop) + chunk
+    if padded.shape[1] < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    # Overlapping per-tile chunks (overlap = n_fft - hop): one XLA gather, so
+    # the Pallas grid pipeline can double-buffer plain (b, t) blocks.
+    starts = jnp.arange(n_tiles) * (FRAME_TILE * hop)
+    idx = starts[:, None] + jnp.arange(chunk)[None, :]
+    chunks = padded[:, idx][:, :, None, :]                  # (B, n_tiles, 1, chunk)
+
+    consts = [jnp.asarray(x) for x in _dft_mel_constants(cfg)]
+    n_freq = consts[0].shape[1]
+
+    const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_kernel(hop, n_fft, chunk),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, chunk), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[const_spec(c.shape) for c in consts],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, FRAME_TILE, cfg.n_mels), lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * FRAME_TILE, cfg.n_mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, chunk), jnp.float32),            # rotated copy
+            pltpu.VMEM((FRAME_TILE, n_fft), jnp.float32),   # frame matrix
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_tiles * FRAME_TILE * n_fft * n_freq * 2
+            + 2 * B * n_tiles * FRAME_TILE * n_freq * cfg.n_mels,
+            bytes_accessed=4 * (B * n_tiles * chunk + B * n_tiles * FRAME_TILE * cfg.n_mels),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunks, *consts)
+    return jnp.swapaxes(out[:, :n_frames, :], -1, -2)
+
+
+def log_mel_pallas(
+    wave: jax.Array, cfg: M.MelConfig = M.MelConfig(), *, interpret: bool = False
+) -> jax.Array:
+    """Fused-kernel log-mel (dB) — drop-in for ops.mel.log_mel_spectrogram."""
+    return M.amplitude_to_db(
+        mel_power_pallas(wave, cfg, interpret=interpret),
+        stype="power", top_db=cfg.top_db,
+    )
+
+
+def ast_features_pallas(
+    wave: jax.Array, cfg: M.MelConfig = M.MelConfig(), *, interpret: bool = False
+) -> jax.Array:
+    """Full AST preprocessing on device: fused mel → dB → per-clip renorm
+    (reference: src/datasets/preprocessing.py:1040-1070)."""
+    return M.ast_normalize(log_mel_pallas(wave, cfg, interpret=interpret))
