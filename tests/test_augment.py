@@ -1,0 +1,130 @@
+"""Augmentation op tests: shapes, label normalization, eval-path bypass."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlsc_tpu.ops import augment as A
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)
+
+
+def test_random_crop_and_center_crop(key):
+    w = jnp.asarray(np.arange(8 * 1000, dtype=np.float32).reshape(8, 1000))
+    out = A.random_crop(w, key, 600)
+    assert out.shape == (8, 600)
+    # crops are contiguous windows
+    d = np.diff(np.asarray(out), axis=1)
+    assert np.allclose(d, 1.0)
+    c = A.center_crop(w, 600)
+    assert c.shape == (8, 600)
+    assert float(c[0, 0]) == 200.0  # (1000-600)//2
+
+
+def test_random_crop_short_input_pads(key):
+    w = jnp.ones((2, 100))
+    out = A.random_crop(w, key, 150)
+    assert out.shape == (2, 150)
+    assert float(out[:, 100:].sum()) == 0.0
+
+
+def test_multi_crop_matches_torch_linspace():
+    w = jnp.asarray(np.arange(2 * 1000, dtype=np.float32).reshape(2, 1000))
+    out = A.multi_crop(w, 400, n_crops=10)
+    assert out.shape == (2, 10, 400)
+    starts = np.asarray(out[0, :, 0], dtype=np.int64)
+    import torch
+
+    expect = torch.linspace(0, 600, 10).long().numpy()
+    np.testing.assert_array_equal(starts, expect)
+
+
+def test_spec_augment_masks(key):
+    spec = jnp.ones((4, 128, 800))
+    out = np.asarray(A.spec_augment(spec, key, time_mask=192, freq_mask=48))
+    assert out.shape == (4, 128, 800)
+    for b in range(4):
+        zero_cols = np.where((out[b] == 0).all(axis=0))[0]
+        zero_rows = np.where((out[b] == 0).all(axis=1))[0]
+        assert 1 <= len(zero_cols) <= 200  # one time mask, len <= T//4
+        assert 1 <= len(zero_rows) <= 32   # one freq mask, len <= F//4
+        # masks are contiguous
+        assert np.all(np.diff(zero_cols) == 1)
+        assert np.all(np.diff(zero_rows) == 1)
+
+
+def test_spec_augment_disabled_is_identity(key):
+    spec = jnp.ones((2, 128, 800))
+    out = A.spec_augment(spec, key, time_mask=0, freq_mask=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(spec))
+
+
+def test_mixup_labels_are_convex(key):
+    spec = jax.random.normal(key, (16, 128, 100))
+    labels = A.one_hot(jnp.arange(16) % 5, 50)
+    mixed, soft = A.mixup(spec, labels, key, alpha=0.5, prob=1.0)
+    assert mixed.shape == spec.shape
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
+    assert (np.asarray(soft) >= 0).all()
+
+
+def test_mixup_prob_zero_is_identity(key):
+    spec = jax.random.normal(key, (8, 16, 10))
+    labels = A.one_hot(jnp.arange(8) % 3, 10)
+    mixed, soft = A.mixup(spec, labels, key, alpha=0.5, prob=0.0)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(spec))
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(labels))
+
+
+def test_bc_mix_formula(key):
+    B, T = 8, 4000
+    wave = jax.random.normal(key, (B, T)) * 0.3
+    labels = A.one_hot(jnp.arange(B), 50)  # all distinct classes
+    mixed, soft = A.bc_mix(wave, labels, key)
+    assert mixed.shape == wave.shape
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
+    # every sample has exactly two nonzero label entries (r in (0,1) a.s.)
+    nz = (np.asarray(soft) > 1e-6).sum(-1)
+    assert set(nz.tolist()) <= {1, 2}
+
+
+def test_bc_mix_same_class_fallback(key):
+    wave = jax.random.normal(key, (4, 1000))
+    labels = A.one_hot(jnp.zeros(4, dtype=jnp.int32), 50)  # all same class
+    mixed, soft = A.bc_mix(wave, labels, key)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(wave), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(labels))
+
+
+def test_gain_shift_bounds(key):
+    wave = jnp.ones((32, 100))
+    out = np.asarray(A.gain_shift(wave, key, -12.0, 12.0, prob=1.0))
+    assert (out.max(axis=1) <= 10 ** (12 / 20) + 1e-5).all()
+    assert (out.min(axis=1) >= 10 ** (-12 / 20) - 1e-5).all()
+
+
+def test_time_stretch_static_shape(key):
+    wave = jax.random.normal(key, (4, 2000))
+    out = A.time_stretch(wave, key, 0.8, 1.2, prob=1.0)
+    assert out.shape == wave.shape
+
+
+def test_ops_jit_and_vmap_clean(key):
+    # everything must be jittable with static shapes
+    wave = jax.random.normal(key, (8, 4000))
+    labels = A.one_hot(jnp.arange(8) % 4, 10)
+
+    @jax.jit
+    def pipeline(w, y, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        w = A.random_crop(w, k1, 2000)
+        w = A.gain_shift(w, k2, -6, 6)
+        return A.bc_mix(w, y, k3)
+
+    mixed, soft = pipeline(wave, labels, key)
+    assert mixed.shape == (8, 2000)
