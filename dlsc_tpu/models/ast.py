@@ -1,0 +1,136 @@
+"""AST-Base: ViT-Base trunk on log-mel patches with pretrained-weight import.
+
+Reference behavioral spec: src/models/ast.py:7-63 — a timm
+``deit_base_patch16_384`` ViT whose patch embedding is re-built as a
+1-channel Conv(k=16, s=10) initialized with the channel-mean of the RGB
+patch weights (:30-33), cls token cloned (:35), and 2-D positional
+embeddings bilinearly interpolated from the 24×24 image grid to the audio
+grid ``((128-16)/(16-6)+1, (t_dim-16)/(16-6)+1)`` (:23-28, 42-48). The
+forward pass ends in ``sigmoid`` (:63) — preserved quirk.
+
+Since this environment has no network access (timm weights can't be
+downloaded), ``ASTModel`` initializes randomly by default and
+``load_torch_vit`` imports any timm-format ViT state dict when one is
+available on disk (e.g. ``~/.cache/torch/.../deit_base_patch16_384.pth``).
+The import math (channel-mean, bilinear interpolation) is tested against a
+from-scratch torch ViT in tests/test_torch_import.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlsc_tpu.models.vit import ASTViT
+
+
+def ASTModel(
+    num_classes: int = 50,
+    sample_rate: int = 44_100,
+    patch_size: int = 16,
+    patch_stride: int = 10,
+    overlap: int = 6,
+    pretrained_model: str = "deit_base_patch16_384",
+    emb_dim: int = 768,
+    depth: int = 12,
+    num_heads: int = 12,
+    dtype: Any = jnp.bfloat16,
+) -> ASTViT:
+    """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;
+    weight loading happens explicitly via ``load_torch_vit``."""
+    del pretrained_model
+    return ASTViT(
+        num_classes=num_classes,
+        emb_dim=emb_dim,
+        depth=depth,
+        num_heads=num_heads,
+        patch_size=patch_size,
+        patch_stride=patch_stride,
+        overlap=overlap,
+        sample_rate=sample_rate,
+        f_dim=128,
+        dropout=0.0,  # timm eval-mode blocks carry no dropout
+        dtype=dtype,
+    )
+
+
+def interpolate_pos_embed(
+    pos_embed: np.ndarray, old_grid: tuple[int, int], new_grid: tuple[int, int]
+) -> np.ndarray:
+    """Bilinear 2-D interpolation of ViT patch position embeddings, keeping
+    the CLS slot (reference: src/models/ast.py:42-48; align_corners=False
+    semantics — jax.image.resize uses the same half-pixel convention)."""
+    cls, patch = pos_embed[:, :1], pos_embed[:, 1:]
+    D = patch.shape[-1]
+    grid = patch.reshape(1, *old_grid, D)
+    resized = jax.image.resize(
+        jnp.asarray(grid), (1, *new_grid, D), method="bilinear"
+    )
+    resized = np.asarray(resized).reshape(1, -1, D)
+    return np.concatenate([cls, resized], axis=1)
+
+
+def load_torch_vit(
+    params: Mapping, state_dict: Mapping[str, "np.ndarray"], model: ASTViT
+) -> dict:
+    """Map a timm ViT state dict onto ASTViT params.
+
+    Implements the reference's init recipe (src/models/ast.py:30-48):
+    patch-embed weights channel-meaned into the 1-channel conv, cls token
+    copied, pos-embed bilinearly interpolated to the audio grid, encoder
+    blocks and final norm copied verbatim; the head stays as initialized.
+
+    ``state_dict`` values may be torch tensors or numpy arrays.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p = jax.tree_util.tree_map(np.asarray, dict(params))
+
+    def put(path: list[str], val: np.ndarray):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        assert node[path[-1]].shape == val.shape, (
+            path, node[path[-1]].shape, val.shape)
+        node[path[-1]] = val.astype(node[path[-1]].dtype)
+
+    # patch embed: (D, C, k, k) → channel-mean → (D, 1, k, k) → HWIO (k, k, 1, D)
+    w = sd["patch_embed.proj.weight"].mean(axis=1, keepdims=True)
+    put(["patch_embed", "kernel"], w.transpose(2, 3, 1, 0))
+    put(["patch_embed", "bias"], sd["patch_embed.proj.bias"])
+
+    put(["cls_token"], sd["cls_token"])
+    old_n = sd["pos_embed"].shape[1] - 1
+    old_side = int(round(old_n**0.5))
+    new_pos = interpolate_pos_embed(
+        sd["pos_embed"], (old_side, old_side), model.grid_size
+    )
+    put(["pos_embed"], new_pos)
+
+    for i in range(model.depth):
+        b = f"blocks.{i}."
+        g = f"blocks_{i}"
+        put([g, "norm1", "scale"], sd[b + "norm1.weight"])
+        put([g, "norm1", "bias"], sd[b + "norm1.bias"])
+        put([g, "attn", "qkv", "kernel"], sd[b + "attn.qkv.weight"].T)
+        put([g, "attn", "qkv", "bias"], sd[b + "attn.qkv.bias"])
+        put([g, "attn", "proj", "kernel"], sd[b + "attn.proj.weight"].T)
+        put([g, "attn", "proj", "bias"], sd[b + "attn.proj.bias"])
+        put([g, "norm2", "scale"], sd[b + "norm2.weight"])
+        put([g, "norm2", "bias"], sd[b + "norm2.bias"])
+        put([g, "mlp", "fc1", "kernel"], sd[b + "mlp.fc1.weight"].T)
+        put([g, "mlp", "fc1", "bias"], sd[b + "mlp.fc1.bias"])
+        put([g, "mlp", "fc2", "kernel"], sd[b + "mlp.fc2.weight"].T)
+        put([g, "mlp", "fc2", "bias"], sd[b + "mlp.fc2.bias"])
+
+    put(["norm", "scale"], sd["norm.weight"])
+    put(["norm", "bias"], sd["norm.bias"])
+    return p
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)

@@ -1,0 +1,153 @@
+"""Shared ViT encoder for the AST family.
+
+Block structure mirrors timm's pre-LN ``Block`` (and the reference's
+from-scratch encoder, src/models/ast_small.py:18-37): packed-QKV attention,
+GELU MLP ×4, residuals around both. The packed QKV layout makes the
+PyTorch→Flax weight importer (dlsc_tpu.models.torch_import) a pure
+transpose/reshape mapping.
+
+TPU notes: attention and MLP matmuls run in ``dtype`` (bf16 by default for
+the AST family — transformers tolerate mixed precision, reference:
+configs/base_training.yaml:9-16) with f32 params and f32 softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with timm-style packed qkv."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        B, N, D = x.shape
+        H = self.num_heads
+        dh = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,dh)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh**-0.5)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype, name="fc1")(x)
+        # exact (erf) GELU to match torch.nn.GELU default
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, self.dropout, self.dtype, name="attn")(y, train)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
+        return x
+
+
+class ASTViT(nn.Module):
+    """Audio-spectrogram ViT trunk with the reference's conventions:
+
+    - patch-embed Conv over (n_mels, T) log-mel with configurable stride,
+    - positional-embedding table sized for a *10-second* clip
+      (``t_dim = sr*10/160 + 1``, reference: src/models/ast.py:16) and
+      sliced to the actual token count (``pos_embed[:, :N+1]``, :59),
+    - classification from the CLS token through ``sigmoid`` (:63) — the
+      reference feeds these probabilities to a CE/KL loss as if they were
+      logits; preserved for parity.
+    """
+
+    num_classes: int = 50
+    emb_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    patch_size: int = 16
+    patch_stride: int = 10
+    overlap: int = 6
+    sample_rate: int = 44_100
+    f_dim: int = 128
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    sigmoid_head: bool = True
+
+    @property
+    def t_dim(self) -> int:
+        return int(self.sample_rate * 10 / 160) + 1
+
+    @property
+    def grid_size(self) -> tuple[int, int]:
+        step = self.patch_size - self.overlap
+        return (
+            (self.f_dim - self.patch_size) // step + 1,
+            (self.t_dim - self.patch_size) // step + 1,
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # (B, F, T) or (B, 1, F, T) → NHWC (B, F, T, 1)
+        if x.ndim == 4:
+            x = x[:, 0]
+        B = x.shape[0]
+        x = x[..., None].astype(self.dtype)
+
+        x = nn.Conv(
+            self.emb_dim, (self.patch_size, self.patch_size),
+            (self.patch_stride, self.patch_stride), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        # NHWC (B, F', T', D) → tokens in the reference's flatten order
+        # (torch flatten(2) walks H then W on NCHW → row-major over (F', T'))
+        x = x.reshape(B, -1, self.emb_dim)
+        N = x.shape[1]
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.emb_dim))
+        num_patches = self.grid_size[0] * self.grid_size[1]
+        pos = self.param(
+            "pos_embed", trunc_normal_02, (1, 1 + num_patches, self.emb_dim)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.emb_dim)).astype(self.dtype), x], axis=1)
+        x = x + pos[:, : N + 1].astype(self.dtype)
+
+        for i in range(self.depth):
+            x = Block(
+                self.emb_dim, self.num_heads, dropout=self.dropout,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x, train)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
+            x[:, 0].astype(jnp.float32)
+        )
+        return nn.sigmoid(logits) if self.sigmoid_head else logits

@@ -1,0 +1,122 @@
+"""Model shape/contract tests (SURVEY.md §4 test pyramid, level 2).
+
+Uses reduced input sizes where the architecture allows it to keep CPU CI
+fast; full-size contracts (5 s → EnvNet trunk (10, 33)) are asserted via
+the flatten dimension.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlsc_tpu.models import (
+    ASTMiniViT,
+    ASTViTSmall,
+    CNN_ESC50,
+    EnvNetV2,
+    LeafModel,
+)
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.key(0)
+
+
+def test_envnet_v2_contract(key):
+    """5 s @ 44.1 kHz → (B, C) logits; trunk must produce 256*10*33 features
+    (reference: src/models/envnet_v2.py:49-52)."""
+    model = EnvNetV2(num_classes=50)
+    x = jnp.zeros((2, 220500))
+    vars_ = model.init(key, x, train=False)
+    # first classifier Dense must consume 256*10*33 = 84480 features
+    dense_in = vars_["params"]["Dense_0"]["kernel"].shape[0]
+    assert dense_in == 256 * 10 * 33
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (2, 50)
+    assert out.dtype == jnp.float32
+
+
+def test_envnet_v2_train_mode_updates_batch_stats(key):
+    model = EnvNetV2(num_classes=10)
+    x = jax.random.normal(key, (2, 220500)) * 0.1
+    vars_ = model.init(key, x, train=False)
+    out, mutated = model.apply(
+        vars_, x, train=True,
+        rngs={"dropout": key}, mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 10)
+    before = vars_["batch_stats"]["_ConvBNRelu_0"]["BatchNorm_0"]["mean"]
+    after = mutated["batch_stats"]["_ConvBNRelu_0"]["BatchNorm_0"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.parametrize("factory,emb", [(ASTViTSmall, 384), (ASTMiniViT, 192)])
+def test_ast_from_scratch_contract(key, factory, emb):
+    model = factory(num_classes=50, dtype=jnp.float32)
+    x = jnp.zeros((2, 128, 128))  # short clip: 128 frames
+    vars_ = model.init(key, x, train=False)
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (2, 50)
+    probs = np.asarray(out)
+    assert (probs >= 0).all() and (probs <= 1).all()  # sigmoid head quirk
+    assert vars_["params"]["cls_token"].shape == (1, 1, emb)
+
+
+def test_ast_pos_embed_sized_for_10s(key):
+    """pos_embed table uses the 10-s t_dim (reference: src/models/ast.py:16)
+    and is sliced to the actual token count (:59)."""
+    # config values: patch_stride=16, overlap=0 (configs/model/ast_small.yaml)
+    model = ASTViTSmall(num_classes=5, patch_stride=16, overlap=0, dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 256))
+    vars_ = model.init(key, x, train=False)
+    n_table = vars_["params"]["pos_embed"].shape[1]
+    grid_f = (128 - 16) // 16 + 1
+    grid_t = (int(44100 * 10 / 160) + 1 - 16) // 16 + 1
+    assert n_table == 1 + grid_f * grid_t
+    # shorter input still works (prefix slice)
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (1, 5)
+
+
+def test_leaf_contract(key):
+    model = LeafModel(n_filters=32, kernel_size=101, num_classes=50)
+    x = jax.random.normal(key, (2, 44100)) * 0.1
+    vars_ = model.init(key, x, train=False)
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (2, 50)
+    # alpha exists as a parameter (state parity quirk) …
+    assert "alpha" in vars_["params"]["PCEN_0"]
+    # … but is not used: gradient through it must be zero
+    def loss(p):
+        return model.apply({**vars_, "params": p}, x, train=False).sum()
+    g = jax.grad(loss)(vars_["params"])
+    assert float(jnp.abs(g["PCEN_0"]["alpha"]).max()) == 0.0
+    assert float(jnp.abs(g["PCEN_0"]["delta"]).max()) > 0.0
+
+
+def test_cnn_esc50_contract(key):
+    model = CNN_ESC50(num_classes=50)
+    x = jax.random.normal(key, (2, 224, 224))
+    vars_ = model.init(key, x, train=False)
+    out = model.apply(vars_, x, train=False)
+    assert out.shape == (2, 50)
+
+
+def test_gabor_filters_follow_params(key):
+    """Gabor filterbank is rebuilt from parameters inside the jitted graph:
+    changing bandwidths must change the output (reference rebuilds filters
+    per forward, src/models/leaf.py:20-29). center_freqs have a vanishing
+    effect by construction — a reference parameterization quirk (phase
+    ≤ ~0.01 rad, see models/leaf.py docstring) — so bandwidths are the
+    observable knob."""
+    model = LeafModel(n_filters=8, kernel_size=51, num_classes=4)
+    x = jax.random.normal(key, (1, 8000)) * 0.1
+    vars_ = model.init(key, x, train=False)
+    out1 = model.apply(vars_, x, train=False)
+    p2 = jax.tree_util.tree_map(lambda a: a, vars_["params"])
+    p2["GaborConv1d_0"]["bandwidths"] = p2["GaborConv1d_0"]["bandwidths"] * 0.3
+    out2 = model.apply({**vars_, "params": p2}, x, train=False)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))

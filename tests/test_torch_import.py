@@ -1,0 +1,146 @@
+"""PyTorch→Flax ViT weight-import parity.
+
+Builds a minimal timm-layout torch ViT (packed qkv, pre-LN blocks, exact
+GELU), exports its randomly-initialized state dict, imports it via
+``dlsc_tpu.models.ast.load_torch_vit`` (channel-mean patch embed + bilinear
+pos-embed interpolation, reference: src/models/ast.py:30-48), and checks the
+Flax forward matches a torch forward that replicates the reference
+ASTModel.forward (ast.py:50-63).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from dlsc_tpu.models.ast import ASTModel, interpolate_pos_embed, load_torch_vit
+
+EMB, DEPTH, HEADS = 96, 2, 4
+IMG_GRID = 6  # pretend pretrained image grid 6x6
+
+
+class TorchBlock(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(EMB, eps=1e-6)
+        self.attn_qkv = nn.Linear(EMB, 3 * EMB)
+        self.attn_proj = nn.Linear(EMB, EMB)
+        self.norm2 = nn.LayerNorm(EMB, eps=1e-6)
+        self.fc1 = nn.Linear(EMB, 4 * EMB)
+        self.fc2 = nn.Linear(4 * EMB, EMB)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        h = self.norm1(x)
+        qkv = self.attn_qkv(h).reshape(B, N, 3, HEADS, D // HEADS).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (D // HEADS) ** -0.5
+        attn = attn.softmax(dim=-1)
+        x = x + self.attn_proj((attn @ v).transpose(1, 2).reshape(B, N, D))
+        h = self.norm2(x)
+        x = x + self.fc2(F.gelu(self.fc1(h)))
+        return x
+
+
+class TorchViTAST(nn.Module):
+    """Reference-style ASTModel built on the toy ViT (ast.py:7-63)."""
+
+    def __init__(self, num_classes=7, patch=16, stride=10, overlap=6, sr=44100):
+        super().__init__()
+        torch.manual_seed(0)
+        self.patch_embed_rgb = nn.Conv2d(3, EMB, kernel_size=patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, EMB) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, 1 + IMG_GRID * IMG_GRID, EMB) * 0.02)
+        self.blocks = nn.ModuleList([TorchBlock() for _ in range(DEPTH)])
+        self.norm = nn.LayerNorm(EMB, eps=1e-6)
+        self.head = nn.Linear(EMB, num_classes)
+        self.t_dim = int(sr * 10 / 160) + 1
+        step = patch - overlap
+        self.new_grid = ((128 - patch) // step + 1, (self.t_dim - patch) // step + 1)
+        # reference init: channel-mean patch embed, interpolated pos embed
+        self.patch_embed = nn.Conv2d(1, EMB, kernel_size=patch, stride=stride)
+        with torch.no_grad():
+            self.patch_embed.weight.copy_(self.patch_embed_rgb.weight.mean(1, keepdim=True))
+            self.patch_embed.bias.copy_(self.patch_embed_rgb.bias)
+        cls, grid = self.pos_embed[:, :1], self.pos_embed[:, 1:]
+        grid = grid.reshape(1, IMG_GRID, IMG_GRID, EMB).permute(0, 3, 1, 2)
+        grid = F.interpolate(grid, size=self.new_grid, mode="bilinear", align_corners=False)
+        grid = grid.permute(0, 2, 3, 1).reshape(1, -1, EMB)
+        self.pos_embed_interp = nn.Parameter(torch.cat([cls, grid], 1))
+
+    def timm_state_dict(self):
+        sd = {
+            "patch_embed.proj.weight": self.patch_embed_rgb.weight,
+            "patch_embed.proj.bias": self.patch_embed_rgb.bias,
+            "cls_token": self.cls_token,
+            "pos_embed": self.pos_embed,
+            "norm.weight": self.norm.weight,
+            "norm.bias": self.norm.bias,
+        }
+        for i, b in enumerate(self.blocks):
+            sd.update({
+                f"blocks.{i}.norm1.weight": b.norm1.weight,
+                f"blocks.{i}.norm1.bias": b.norm1.bias,
+                f"blocks.{i}.attn.qkv.weight": b.attn_qkv.weight,
+                f"blocks.{i}.attn.qkv.bias": b.attn_qkv.bias,
+                f"blocks.{i}.attn.proj.weight": b.attn_proj.weight,
+                f"blocks.{i}.attn.proj.bias": b.attn_proj.bias,
+                f"blocks.{i}.norm2.weight": b.norm2.weight,
+                f"blocks.{i}.norm2.bias": b.norm2.bias,
+                f"blocks.{i}.mlp.fc1.weight": b.fc1.weight,
+                f"blocks.{i}.mlp.fc1.bias": b.fc1.bias,
+                f"blocks.{i}.mlp.fc2.weight": b.fc2.weight,
+                f"blocks.{i}.mlp.fc2.bias": b.fc2.bias,
+            })
+        return sd
+
+    @torch.no_grad()
+    def forward(self, x):  # x: (B, 1, F, T)
+        x = self.patch_embed(x).flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], 1)
+        x = x + self.pos_embed_interp[:, : x.size(1)]
+        for b in self.blocks:
+            x = b(x)
+        x = self.norm(x)
+        return torch.sigmoid(self.head(x[:, 0]))
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    m = TorchViTAST()
+    m.eval()
+    return m
+
+
+def test_weight_import_forward_parity(torch_model):
+    model = ASTModel(
+        num_classes=7, emb_dim=EMB, depth=DEPTH, num_heads=HEADS,
+        dtype=jnp.float32,
+    )
+    x = np.random.default_rng(0).standard_normal((2, 128, 300)).astype(np.float32)
+    vars_ = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+    params = load_torch_vit(vars_["params"], torch_model.timm_state_dict(), model)
+    # head: copy torch's randomly-initialized head for a full-path comparison
+    params["head"]["kernel"] = np.asarray(torch_model.head.weight.detach().numpy().T)
+    params["head"]["bias"] = np.asarray(torch_model.head.bias.detach().numpy())
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x), train=False))
+    theirs = torch_model(torch.from_numpy(x).unsqueeze(1)).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_pos_embed_interpolation_matches_torch(torch_model):
+    got = interpolate_pos_embed(
+        torch_model.pos_embed.detach().numpy(), (IMG_GRID, IMG_GRID),
+        torch_model.new_grid,
+    )
+    want = torch_model.pos_embed_interp.detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
