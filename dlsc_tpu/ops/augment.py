@@ -160,6 +160,35 @@ def spec_augment(
 
 
 # --------------------------------------------------------------------------- #
+# Image augmentation for the spectrogram-image CNN
+# (reference: preprocessing.py:1473-1478 — RandomH/VFlip + RandomAffine)
+# --------------------------------------------------------------------------- #
+def image_flip_translate(
+    img: jax.Array, key: jax.Array, translate: float = 0.1
+) -> jax.Array:
+    """Per-sample random horizontal/vertical flips (p=0.5 each) and integer
+    translation up to ±translate·dim, zero-filled. img: (B, H, W)."""
+    B, H, W = img.shape
+    kh, kv, kx, ky = jax.random.split(key, 4)
+    hflip = jax.random.bernoulli(kh, 0.5, (B,))
+    vflip = jax.random.bernoulli(kv, 0.5, (B,))
+    max_dx, max_dy = int(translate * W), int(translate * H)
+    dx = jax.random.randint(kx, (B,), -max_dx, max_dx + 1)
+    dy = jax.random.randint(ky, (B,), -max_dy, max_dy + 1)
+
+    def one(im, hf, vf, tx, ty):
+        im = jnp.where(hf, im[:, ::-1], im)
+        im = jnp.where(vf, im[::-1, :], im)
+        rows = jnp.arange(H)[:, None] - ty
+        cols = jnp.arange(W)[None, :] - tx
+        valid = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
+        shifted = im[jnp.clip(rows, 0, H - 1), jnp.clip(cols, 0, W - 1)]
+        return jnp.where(valid, shifted, 0.0)
+
+    return jax.vmap(one)(img, hflip, vflip, dx, dy)
+
+
+# --------------------------------------------------------------------------- #
 # Mixup (reference: preprocessing.py:928-968, esc50.py:43-76)
 # --------------------------------------------------------------------------- #
 def mixup(
