@@ -1,0 +1,108 @@
+"""Orbax checkpointing with the reference's best-k policy.
+
+Mirrors Lightning ModelCheckpoint semantics (reference:
+src/training/callbacks.py:32-56, configs/base_training.yaml:109-114):
+monitor a metric (default ``val/acc``), keep the top-k checkpoints, name
+directories ``epoch-XX-val_acc-Y.YYY``, and support resume
+(``trainer.fit(ckpt_path=...)``, reference: scripts/train.py:199-200).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _sanitize(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        dirpath: str | Path,
+        monitor: str = "val/acc",
+        mode: str = "max",
+        save_top_k: int = 1,
+    ):
+        self.dirpath = Path(dirpath).absolute()
+        self.dirpath.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self._saved: list[tuple[float, Path]] = []
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # -- save ---------------------------------------------------------------
+    def _state_to_pytree(self, state) -> dict:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "rng": jax.random.key_data(state.rng),
+        }
+
+    def save(self, state, epoch: int, metrics: dict) -> Path | None:
+        value = float(metrics.get(self.monitor, float("nan")))
+        if np.isnan(value):
+            return None
+        better = (
+            len(self._saved) < self.save_top_k
+            or (self.mode == "max" and value > min(v for v, _ in self._saved))
+            or (self.mode == "min" and value < max(v for v, _ in self._saved))
+        )
+        if not better:
+            return None
+        name = _sanitize(
+            f"epoch-{epoch:02d}-{self.monitor.replace('/', '_')}-{value:.3f}"
+        )
+        path = self.dirpath / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path, self._state_to_pytree(state))
+        self._ckpt.wait_until_finished()
+        (path / "ckpt_meta.json").write_text(
+            json.dumps({"epoch": epoch, self.monitor: value})
+        )
+        self._saved.append((value, path))
+        self._saved.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+        while len(self._saved) > self.save_top_k:
+            _, worst = self._saved.pop()
+            shutil.rmtree(worst, ignore_errors=True)
+        return path
+
+    @property
+    def best_path(self) -> Path | None:
+        return self._saved[0][1] if self._saved else None
+
+    @property
+    def best_value(self) -> float | None:
+        return self._saved[0][0] if self._saved else None
+
+    # -- restore --------------------------------------------------------------
+    def restore(self, path: str | Path, state):
+        """Restore a TrainState from a checkpoint dir (abstract-shape guided)."""
+        template = self._state_to_pytree(state)
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        restored = self._ckpt.restore(Path(path).absolute(), abstract)
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            rng=jax.random.wrap_key_data(restored["rng"]),
+        )
+
+
+def restore_state(path: str | Path, state):
+    """Module-level resume helper (``+ckpt_path=...`` flow)."""
+    mgr = CheckpointManager(Path(path).parent if Path(path).name else path)
+    return mgr.restore(path, state)

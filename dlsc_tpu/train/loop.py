@@ -1,0 +1,373 @@
+"""Fit/validate/test loop — the functional replacement for Lightning's
+Trainer + LitClassifier (reference: src/training/engine.py, scripts/train.py).
+
+Responsibilities mirrored from the reference:
+
+- epoch loop with train/val phases, metric names ``train/acc``, ``val/acc``,
+  ``val/loss`` etc. (load-bearing monitor keys, engine.py:209-221),
+- ModelCheckpoint on ``val/acc`` (save_top_k, resume via ckpt_path),
+  EarlyStopping (patience/min_delta), LR monitoring per epoch
+  (src/training/callbacks.py:32-68),
+- ``limit_train_batches`` / ``limit_val_batches`` smoke-run caps
+  (TRAINING.md smoke recipe),
+- test phase with multi-crop averaging and the full metric suite
+  (acc/F1/AUROC/confusion matrix/per-class accuracy) plus rendered figures
+  (engine.py:223-297),
+- a clips/sec/chip throughput meter per epoch (the BASELINE.json metric;
+  new — the reference has no profiling, SURVEY.md §5.1).
+
+TPU-first: one fused jitted step (pipeline + fwd + bwd + update + metrics),
+donated state, batch sharded over the mesh 'data' axis.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlsc_tpu.parallel import MeshPlan, make_plan
+from dlsc_tpu.train import metrics as MT
+from dlsc_tpu.train.checkpoint import CheckpointManager
+from dlsc_tpu.train.losses import CrossEntropyLoss
+from dlsc_tpu.train.optim import OptimizerSpec, SchedulerSpec, build_optimizer
+from dlsc_tpu.train.state import TrainState
+from dlsc_tpu.train.steps import make_eval_step, make_train_step
+
+
+class EarlyStopping:
+    """val-metric early stop (reference: callbacks.py:59-63)."""
+
+    def __init__(self, monitor="val/acc", mode="max", patience=40, min_delta=0.001):
+        self.monitor, self.mode = monitor, mode
+        self.patience, self.min_delta = patience, min_delta
+        self.best = -np.inf if mode == "max" else np.inf
+        self.bad_epochs = 0
+
+    def update(self, metrics: dict) -> bool:
+        v = metrics.get(self.monitor)
+        if v is None:
+            return False
+        improved = (
+            v > self.best + self.min_delta
+            if self.mode == "max"
+            else v < self.best - self.min_delta
+        )
+        if improved:
+            self.best, self.bad_epochs = v, 0
+        else:
+            self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 250,
+        precision: str | int = 32,
+        gradient_clip_val: float | None = None,
+        log_every_n_steps: int | None = None,
+        limit_train_batches: int | None = None,
+        limit_val_batches: int | None = None,
+        check_val_every_n_epoch: int = 1,
+        enable_progress_bar: bool = True,
+        enable_checkpointing: bool = True,
+        checkpoint_dir: str | Path = "checkpoints",
+        debug_nans: bool = False,
+        devices: int | str = "auto",
+        accelerator: str = "auto",
+        seed: int = 42,
+        plan: MeshPlan | None = None,
+        **_: Any,
+    ):
+        self.max_epochs = max_epochs
+        self.precision = str(precision)
+        self.gradient_clip_val = gradient_clip_val
+        self.log_every_n_steps = log_every_n_steps
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.enable_progress_bar = enable_progress_bar
+        self.enable_checkpointing = enable_checkpointing
+        self.checkpoint_dir = Path(checkpoint_dir)
+        self.seed = seed
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)  # sanitizer toggle (§5.2)
+        n_dev = None if devices in ("auto", None) else int(devices)
+        self.plan = plan or make_plan(n_dev)
+        self.state: TrainState | None = None
+        self.ckpt_manager: CheckpointManager | None = None
+        self.logged_metrics: dict[str, float] = {}
+        self.should_stop = False
+
+    # -- state init -------------------------------------------------------------
+    def init_state(self, model, datamodule, optim_spec, sched_spec) -> TrainState:
+        pipeline = datamodule.pipeline
+        sample = next(iter(datamodule.train_batches(epoch=0)))
+        wave = jnp.asarray(sample["wave"][:2])
+        labels = jnp.asarray(sample["label"][:2])
+        inputs, _ = pipeline.train_batch(wave, labels, jax.random.key(0))
+        variables = model.init(
+            {"params": jax.random.key(self.seed), "dropout": jax.random.key(1)},
+            inputs, train=False,
+        )
+        tx, self._lr_fn = build_optimizer(
+            optim_spec, sched_spec, max(datamodule.steps_per_epoch, 1),
+            self.gradient_clip_val,
+        )
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=tx,
+            rng=jax.random.key(self.seed),
+        )
+
+    def _compile_steps(self, pipeline, criterion):
+        plan = self.plan
+        rep, bat = plan.replicated, plan.batch
+        train = make_train_step(pipeline, criterion)
+        evals = make_eval_step(pipeline, criterion)
+        self._train_step = jax.jit(
+            train, donate_argnums=(0, 1),
+            in_shardings=(rep, rep, bat, bat),
+            out_shardings=(rep, rep, rep),
+        )
+        self._eval_step = jax.jit(
+            evals, donate_argnums=(1,),
+            in_shardings=(rep, rep, bat, bat, bat),
+            out_shardings=(rep, bat),
+        )
+
+    def _put(self, arr):
+        return jax.device_put(np.asarray(arr), self.plan.batch)
+
+    # -- fit -------------------------------------------------------------------
+    def fit(
+        self,
+        model,
+        datamodule,
+        optim_spec: OptimizerSpec,
+        sched_spec: SchedulerSpec | None = None,
+        criterion: Callable | None = None,
+        tracker=None,
+        checkpoint_cfg: dict | None = None,
+        early_stop_cfg: dict | None = None,
+        ckpt_path: str | None = None,
+        callbacks: Sequence[Any] = (),
+    ) -> TrainState:
+        criterion = criterion or CrossEntropyLoss()
+        datamodule.setup()
+        pipeline = datamodule.pipeline
+        num_classes = datamodule.num_classes
+
+        state = self.init_state(model, datamodule, optim_spec, sched_spec)
+        if ckpt_path:
+            from dlsc_tpu.train.checkpoint import restore_state
+
+            state = restore_state(ckpt_path, state)
+            print(f"Resumed from {ckpt_path} at step {int(state.step)}")
+        self._compile_steps(pipeline, criterion)
+
+        ckpt_cfg = dict(checkpoint_cfg or {})
+        dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)
+        self.ckpt_manager = (
+            CheckpointManager(dirpath, **{k: ckpt_cfg[k] for k in
+                                          ("monitor", "mode", "save_top_k") if k in ckpt_cfg})
+            if self.enable_checkpointing else None
+        )
+        stopper = EarlyStopping(**early_stop_cfg) if early_stop_cfg else None
+
+        log_every = self.log_every_n_steps or max(datamodule.steps_per_epoch, 1)
+        history: list[dict] = []
+        epoch0 = int(state.step) // max(datamodule.steps_per_epoch, 1)
+
+        for epoch in range(epoch0, self.max_epochs):
+            # ---- train ----
+            ms = MT.MetricState.create(num_classes)
+            t0 = time.time()
+            n_clips = 0
+            it = datamodule.train_batches(epoch=epoch, seed=self.seed)
+            if self.enable_progress_bar:
+                from tqdm import tqdm
+
+                it = tqdm(it, total=datamodule.steps_per_epoch,
+                          desc=f"epoch {epoch}", leave=False)
+            for i, batch in enumerate(it):
+                if self.limit_train_batches and i >= self.limit_train_batches:
+                    break
+                state, ms, loss = self._train_step(
+                    state, ms, self._put(batch["wave"]), self._put(batch["label"])
+                )
+                n_clips += len(batch["label"])
+                if tracker and (i + 1) % log_every == 0:
+                    tracker.log_metric("train/loss_step", float(loss), int(state.step))
+            jax.block_until_ready(state.params)
+            dt = time.time() - t0
+            metrics = {
+                "train/acc": float(MT.accuracy(ms)),
+                "train/loss": float(MT.mean_loss(ms)),
+                "lr": float(self._lr_fn(int(state.step))),
+                "perf/clips_per_sec_per_chip": n_clips / dt / max(self.plan.n_data, 1),
+            }
+
+            # ---- validate ----
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                vms = MT.MetricState.create(num_classes)
+                for i, batch in enumerate(datamodule.val_batches()):
+                    if self.limit_val_batches and i >= self.limit_val_batches:
+                        break
+                    vms, _ = self._eval_step(
+                        state, vms, self._put(batch["wave"]),
+                        self._put(batch["label"]), self._put(batch["mask"]),
+                    )
+                if int(vms.count) > 0:
+                    metrics["val/acc"] = float(MT.accuracy(vms))
+                    metrics["val/loss"] = float(MT.mean_loss(vms))
+
+            self.logged_metrics = metrics
+            history.append({"epoch": epoch, **metrics})
+            if tracker:
+                tracker.log_metrics(metrics, step=epoch)
+            if self.enable_progress_bar:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                print(f"[epoch {epoch}] {msg}")
+
+            if self.ckpt_manager and "val/acc" in metrics:
+                self.ckpt_manager.save(state, epoch, metrics)
+            for cb in callbacks:
+                hook = getattr(cb, "on_validation_epoch_end", None)
+                if hook:
+                    hook(self, epoch, metrics)
+            if stopper and stopper.update(metrics):
+                print(f"Early stopping at epoch {epoch} "
+                      f"(best {stopper.monitor}={stopper.best:.4f})")
+                break
+            if self.should_stop:
+                break
+
+        self.state = state
+        self.history = history
+        if tracker and history:
+            self._plot_curves(tracker, history)
+        return state
+
+    # -- test ---------------------------------------------------------------------
+    def test(
+        self,
+        datamodule,
+        state: TrainState | None = None,
+        ckpt: str | Path | None = "best",
+        criterion: Callable | None = None,
+        tracker=None,
+    ) -> dict:
+        criterion = criterion or CrossEntropyLoss()
+        state = state or self.state
+        assert state is not None, "call fit() first or pass a state"
+        if ckpt == "best" and self.ckpt_manager and self.ckpt_manager.best_path:
+            state = self.ckpt_manager.restore(self.ckpt_manager.best_path, state)
+        elif ckpt and ckpt != "best":
+            from dlsc_tpu.train.checkpoint import restore_state
+
+            state = restore_state(ckpt, state)
+
+        datamodule.setup()
+        pipeline = datamodule.pipeline
+        if not hasattr(self, "_eval_step"):
+            self._compile_steps(pipeline, criterion)
+        num_classes = datamodule.num_classes
+        ms = MT.MetricState.create(num_classes)
+        all_probs, all_labels = [], []
+        for batch in datamodule.test_batches():
+            ms, logits = self._eval_step(
+                state, ms, self._put(batch["wave"]),
+                self._put(batch["label"]), self._put(batch["mask"]),
+            )
+            p = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+            keep = batch["mask"]
+            all_probs.append(np.asarray(p)[keep])
+            all_labels.append(batch["label"][keep])
+
+        probs = np.concatenate(all_probs)
+        labels = np.concatenate(all_labels)
+        confmat = np.asarray(ms.confmat)
+        results = {
+            "test/acc": float(MT.accuracy(ms)),
+            "test/loss": float(MT.mean_loss(ms)),
+            "test/f1": float(MT.macro_f1(ms)),
+            "test/auroc": MT.macro_auroc(probs, labels, num_classes),
+        }
+        per_class = np.asarray(MT.per_class_accuracy(ms))
+        if tracker:
+            tracker.log_metrics(results)
+            tracker.log_array(confmat, "test_confmat.npy")
+            tracker.log_array(per_class, "test_class_acc.npy")
+            self._plot_test_figures(tracker, confmat, per_class)
+        results["confmat"] = confmat
+        results["per_class_acc"] = per_class
+        return results
+
+    # -- figures (reference: engine.py:232-297) -------------------------------
+    def _plot_test_figures(self, tracker, confmat, per_class) -> None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, ax = plt.subplots(figsize=(10, 10))
+        ax.imshow(confmat, cmap="viridis")
+        ax.set_xlabel("Predicted"); ax.set_ylabel("True"); ax.set_title("Confusion Matrix")
+        tracker.log_figure(fig, "confmat.png"); plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(12, 6))
+        ax.bar(range(len(per_class)), per_class)
+        ax.set_xlabel("Class Index"); ax.set_ylabel("Accuracy")
+        ax.set_title("Per-Class Accuracy"); ax.set_ylim(0, 1)
+        tracker.log_figure(fig, "per_class_accuracy.png"); plt.close(fig)
+
+    def _plot_curves(self, tracker, history) -> None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, ax = plt.subplots(figsize=(10, 6))
+        epochs = [h["epoch"] for h in history]
+        ax.plot(epochs, [h.get("train/acc") for h in history], label="Train Acc")
+        if any("val/acc" in h for h in history):
+            ax.plot(epochs, [h.get("val/acc") for h in history], label="Val Acc")
+        ax.set_xlabel("Epoch"); ax.set_ylabel("Accuracy"); ax.set_ylim(0, 1)
+        ax.set_title("Train/Val Accuracy per Epoch"); ax.legend()
+        tracker.log_figure(fig, "train_val_accuracy.png"); plt.close(fig)
+
+
+def build_from_cfg(cfg) -> dict:
+    """cfg → {model, criterion, optim_spec, sched_spec} (the reference's
+    build_from_cfg, engine.py:313-325). Maps trainer.precision to the model
+    compute dtype (32 → f32; 16-mixed/bf16-mixed → bf16 — fp16 doesn't exist
+    on TPU)."""
+    from dlsc_tpu.config import instantiate
+
+    precision = str(cfg.select("trainer.precision", default="32"))
+    dtype = jnp.float32 if precision == "32" else jnp.bfloat16
+
+    model_cfg = cfg.model.to_dict()
+    model_cfg.pop("dataset_overrides", None)
+    model = instantiate({**model_cfg, "dtype": dtype})
+    criterion = instantiate(cfg.loss.to_dict()) if "loss" in cfg else CrossEntropyLoss()
+    optim_spec = instantiate(cfg.optimizer.to_dict())
+    sched_spec = instantiate(cfg.scheduler.to_dict()) if "scheduler" in cfg else None
+    return {
+        "model": model,
+        "criterion": criterion,
+        "optim_spec": optim_spec,
+        "sched_spec": sched_spec,
+    }

@@ -1,0 +1,93 @@
+"""jit/pjit-compiled train and eval steps.
+
+One fused device program per step: device pipeline (crop/mel/augment/mix) →
+model forward → soft-label loss → backward → optimizer update → metric
+update, donated TrainState. The reference splits this across DataLoader
+worker processes and Lightning hooks (SURVEY.md §3.1); fusing it removes the
+host from the hot loop entirely — the only host→device transfer is the raw
+waveform batch.
+
+Multi-chip: steps are jitted with NamedShardings from dlsc_tpu.parallel —
+batch sharded over the 'data' mesh axis, state replicated. XLA (GSPMD)
+inserts the gradient all-reduce over ICI; BatchNorm statistics are global
+because reductions see the full logical batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from dlsc_tpu.data.pipeline import DevicePipeline
+from dlsc_tpu.train.metrics import MetricState
+from dlsc_tpu.train.state import TrainState
+
+
+def make_train_step(
+    pipeline: DevicePipeline, criterion: Callable
+) -> Callable:
+    """Returns train_step(state, metric_state, wave, labels) → (state, ms, loss)."""
+
+    def train_step(state: TrainState, ms: MetricState, wave, labels):
+        rng, k_pipe, k_drop = jax.random.split(state.rng, 3)
+        inputs, y = pipeline.train_batch(wave, labels, k_pipe)
+        inputs = jax.lax.stop_gradient(inputs)
+        y = jax.lax.stop_gradient(y)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = False
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = state.apply_fn(
+                variables, inputs, train=True,
+                rngs={"dropout": k_drop}, mutable=mutable,
+            )
+            logits, mut = out if mutable else (out, {})
+            loss = criterion(logits, y)
+            return loss, (logits, mut.get("batch_stats"))
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads).replace(
+            rng=rng,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+        )
+        hard = jnp.argmax(y, axis=-1)
+        ms = ms.update(logits, hard, loss)
+        return new_state, ms, loss
+
+    return train_step
+
+
+def make_eval_step(pipeline: DevicePipeline, criterion: Callable) -> Callable:
+    """Returns eval_step(state, metric_state, wave, labels, mask) →
+    (ms, logits). Handles the multi-crop test path: (B, n_crops, W) inputs
+    are evaluated per crop and the outputs averaged — exactly the
+    reference's mean over stacked crop logits (engine.py:156-159)."""
+
+    def eval_step(state: TrainState, ms: MetricState, wave, labels, mask):
+        inputs, y = pipeline.eval_batch(wave, labels)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+
+        if inputs.ndim == 3 and pipeline.cfg.mode == "envnet_v2" and (
+            pipeline.cfg.multi_crop_test
+        ):
+            B, n_crops, W = inputs.shape
+            flat = inputs.reshape(B * n_crops, W)
+            out = state.apply_fn(variables, flat, train=False)
+            logits = out.reshape(B, n_crops, -1).mean(axis=1)
+        else:
+            logits = state.apply_fn(variables, inputs, train=False)
+        loss = criterion(logits, y, mask=mask.astype(jnp.float32))
+        hard = jnp.argmax(y, axis=-1)
+        ms = ms.update(logits, hard, loss, mask=mask)
+        return ms, logits
+
+    return eval_step

@@ -1,0 +1,154 @@
+"""Training-loop integration tests on the virtual 8-device CPU mesh.
+
+Covers: fit/val/test phases, metric names, checkpointing + resume, early
+stopping, soft-label losses, overfit-one-batch learnability (SURVEY.md §4
+levels 3-5). Uses a small Flax model so CPU CI stays fast; the real model
+families are exercised per-model in test_models.py and on TPU by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dlsc_tpu.data import ESC50DataModule
+from dlsc_tpu.data.synthetic import make_synthetic_dataset
+from dlsc_tpu.tracking import Tracker
+from dlsc_tpu.train import CrossEntropyLoss, KLDivLoss, Trainer
+from dlsc_tpu.train.optim import adam, cosine_annealing
+
+
+class TinyModel(nn.Module):
+    """Small conv+BN+dropout classifier over AST features (exercises
+    batch_stats and dropout plumbing without heavyweight compute)."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, F, T) log-mel
+        x = x[..., None]
+        x = nn.Conv(8, (5, 5), (3, 3))(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+@pytest.fixture(scope="module")
+def dm_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthtrain")
+    make_synthetic_dataset(root, num_classes=10, clips_per_class_per_fold=4,
+                           clip_samples=8000)
+    return root
+
+
+def _dm(root, **kw):
+    kw.setdefault("val_split", 0.2)
+    kw.setdefault("batch_size", 16)
+    kw.setdefault("preprocessing_mode", "ast")
+    kw.setdefault("is_spectrogram", True)
+    kw.setdefault("preprocessing_config", {"n_mels": 128})
+    # NB: the pipeline auto-selects the pure-JAX mel path on CPU backends
+    return ESC50DataModule(root=str(root), num_classes=10, fold=0, **kw)
+
+
+def test_fit_val_test_cycle(dm_root, tmp_path):
+    dm = _dm(dm_root)
+    trainer = Trainer(
+        max_epochs=8, enable_progress_bar=False,
+        checkpoint_dir=tmp_path / "ckpts", seed=0,
+    )
+    tracker = Tracker("test_exp", root=tmp_path / "runs")
+    model = TinyModel()
+    state = trainer.fit(
+        model, dm, adam(lr=3e-3), cosine_annealing(T_max=8),
+        criterion=CrossEntropyLoss(),
+        tracker=tracker,
+        checkpoint_cfg={"monitor": "val/acc", "mode": "max", "save_top_k": 1},
+    )
+    m = trainer.logged_metrics
+    assert {"train/acc", "train/loss", "val/acc", "val/loss", "lr"} <= set(m)
+    assert m["train/acc"] > 0.5, f"failed to learn separable data: {m}"
+    assert trainer.ckpt_manager.best_path is not None
+
+    results = trainer.test(dm, tracker=tracker)
+    assert {"test/acc", "test/f1", "test/auroc", "test/loss"} <= set(results)
+    assert results["confmat"].shape == (10, 10)
+    assert results["per_class_acc"].shape == (10,)
+    assert results["test/acc"] > 0.3
+    # artifacts rendered
+    arts = {p.name for p in tracker.artifacts_dir.iterdir()}
+    assert {"confmat.png", "per_class_accuracy.png", "test_confmat.npy"} <= arts
+    tracker.finish()
+
+
+def test_resume_from_checkpoint(dm_root, tmp_path):
+    dm = _dm(dm_root)
+    t1 = Trainer(max_epochs=2, enable_progress_bar=False,
+                 checkpoint_dir=tmp_path / "c1", seed=0)
+    model = TinyModel()
+    t1.fit(model, dm, adam(lr=1e-3),
+           checkpoint_cfg={"monitor": "val/acc", "mode": "max"})
+    best = t1.ckpt_manager.best_path
+    assert best is not None
+
+    t2 = Trainer(max_epochs=3, enable_progress_bar=False,
+                 checkpoint_dir=tmp_path / "c2", seed=0)
+    state = t2.fit(model, dm, adam(lr=1e-3), ckpt_path=str(best))
+    # resumed from epoch >= 1 and advanced
+    assert int(state.step) > int(2 * dm.steps_per_epoch * 0.9)
+
+
+def test_early_stopping(dm_root, tmp_path):
+    dm = _dm(dm_root)
+    trainer = Trainer(max_epochs=50, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0)
+    trainer.fit(
+        model=TinyModel(), datamodule=dm,
+        optim_spec=adam(lr=0.0),  # frozen → no improvement
+        early_stop_cfg={"monitor": "val/acc", "mode": "max",
+                        "patience": 2, "min_delta": 0.0},
+    )
+    assert trainer.history[-1]["epoch"] < 49
+
+
+def test_kldiv_loss_with_bc_mode(dm_root):
+    """BC mixing path (waveform mode) with KLDivLoss — the reference's
+    recommended pairing (base_training.yaml:75-77)."""
+    dm = ESC50DataModule(
+        root=str(dm_root), num_classes=10, fold=0, val_split=0.2,
+        batch_size=16, preprocessing_mode="envnet_v2", is_spectrogram=False,
+        enable_bc_mixing=True,
+        preprocessing_config={"window_length": 0.1},
+    )
+
+    class WaveNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = x[..., None]
+            x = nn.Conv(8, (64,), (16,))(x)
+            x = nn.relu(x)
+            return nn.Dense(10)(x.mean(axis=1))
+
+    trainer = Trainer(max_epochs=2, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0)
+    trainer.fit(WaveNet(), dm, adam(lr=1e-3), criterion=KLDivLoss())
+    assert "val/acc" in trainer.logged_metrics
+
+
+def test_callbacks_and_should_stop(dm_root):
+    dm = _dm(dm_root)
+
+    class StopAt1:
+        def on_validation_epoch_end(self, trainer, epoch, metrics):
+            if epoch >= 1:
+                trainer.should_stop = True
+
+    trainer = Trainer(max_epochs=10, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0)
+    trainer.fit(TinyModel(), dm, adam(lr=1e-3), callbacks=[StopAt1()])
+    assert trainer.history[-1]["epoch"] == 1
