@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: clips/sec/chip for the full AST-Base training step
+(fused Pallas mel front-end + SpecAugment + Mixup + ViT-Base fwd/bwd +
+Adam update) on 5-s/44.1-kHz clips — the BASELINE.json north-star metric.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
+
+``vs_baseline`` is measured-TPU-throughput / (20 x measured-CPU-throughput):
+BASELINE.json's target is ">=20x CPU end-to-end clips/sec/chip", so
+vs_baseline >= 1.0 means the target is met. The CPU reference number below
+was measured on this machine (single-core host, same train step, pure-XLA
+mel path) — see CPU_BASELINE_PROVENANCE.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured on this host (1-core CPU, JAX CPU backend): AST-Base train step,
+# batch 2, steady state, pure-JAX mel. See scripts/bench_cpu_baseline.py.
+CPU_CLIPS_PER_SEC = 0.345
+CPU_BASELINE_PROVENANCE = "scripts/bench_cpu_baseline.py @ 2026-08-16, batch 2, 3 steps"
+TARGET_MULTIPLier = 20.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.models import ASTModel
+    from dlsc_tpu.train.losses import CrossEntropyLoss
+    from dlsc_tpu.train.metrics import MetricState
+    from dlsc_tpu.train.optim import adam, build_optimizer, cosine_annealing
+    from dlsc_tpu.train.state import TrainState
+    from dlsc_tpu.train.steps import make_train_step
+
+    backend = jax.default_backend()
+    n_chips = max(jax.device_count(), 1)
+
+    pipe = DevicePipeline(PipelineConfig(
+        mode="ast", num_classes=50, enable_mixup=True, mixup_alpha=0.5,
+        time_mask=192, freq_mask=48,
+    ))
+    model = ASTModel(num_classes=50)  # ViT-Base, bf16, remat, flash attention
+
+    rng = np.random.default_rng(0)
+
+    def build(batch):
+        wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
+        labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
+        feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            feats, train=False,
+        )
+        tx, _ = build_optimizer(adam(lr=5e-4, weight_decay=1e-6),
+                                cosine_annealing(T_max=100), 25, 1.0)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"), tx=tx,
+            rng=jax.random.key(0),
+        )
+        ms = MetricState.create(50)
+        step = jax.jit(make_train_step(pipe, CrossEntropyLoss()),
+                       donate_argnums=(0, 1))
+        return step, state, ms, wave, labels
+
+    batch = 64
+    while batch >= 4:
+        try:
+            step, state, ms, wave, labels = build(batch)
+            state, ms, _ = step(state, ms, wave, labels)   # compile + warmup
+            state, ms, _ = step(state, ms, wave, labels)
+            jax.block_until_ready(state.params)
+            n_iters = 10
+            t0 = time.time()
+            for _ in range(n_iters):
+                state, ms, loss = step(state, ms, wave, labels)
+            jax.block_until_ready(loss)
+            dt = time.time() - t0
+            break
+        except Exception as e:  # OOM backoff
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                batch //= 2
+                continue
+            raise
+    else:
+        raise RuntimeError("could not fit any batch size")
+
+    clips_per_sec_per_chip = batch * n_iters / dt / n_chips
+    vs_baseline = clips_per_sec_per_chip / (TARGET_MULTIPLier * CPU_CLIPS_PER_SEC)
+    print(json.dumps({
+        "metric": "AST-Base train-step throughput (fused mel + fwd/bwd + adam), 5s clips",
+        "value": round(clips_per_sec_per_chip, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        "batch": batch,
+        "backend": backend,
+        "n_chips": n_chips,
+        "step_ms": round(dt / n_iters * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

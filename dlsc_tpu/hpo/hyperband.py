@@ -1,0 +1,94 @@
+"""Successive Halving + Hyperband pruners (optuna semantics).
+
+The reference configures ``HyperbandPruner(min_resource=1, max_resource=100,
+reduction_factor=3)`` (reference: src/optimization/study_manager.py:69-78):
+trials are hashed into brackets; within a bracket, Successive Halving keeps
+the top 1/η of trials at each rung (rungs at min_resource·η^k steps).
+"""
+
+from __future__ import annotations
+
+import math
+
+from dlsc_tpu.hpo.study import Study, Trial, TrialState
+
+
+class SuccessiveHalvingPruner:
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 3,
+                 min_early_stopping_rate: int = 0):
+        self.min_resource = min_resource
+        self.rf = reduction_factor
+        self.rate0 = min_early_stopping_rate
+
+    def _rungs(self, step: int) -> list[int]:
+        """All rung step-counts <= step."""
+        rungs, k = [], self.rate0
+        while True:
+            r = self.min_resource * (self.rf ** k)
+            if r > step:
+                break
+            rungs.append(r)
+            k += 1
+        return rungs
+
+    def prune(self, study: Study, trial: Trial) -> bool:
+        step = trial.last_step
+        if step is None:
+            return False
+        sign = 1.0 if study.direction == "maximize" else -1.0
+        for rung in self._rungs(step):
+            my = _value_at(trial, rung)
+            if my is None:
+                continue
+            others = []
+            for t in study.trials:
+                if t.number == trial.number:
+                    continue
+                if t.state in (TrialState.COMPLETE, TrialState.PRUNED,
+                               TrialState.RUNNING):
+                    v = _value_at(t, rung)
+                    if v is not None:
+                        others.append(sign * v)
+            if not others:
+                continue
+            others.sort(reverse=True)
+            n_keep = max(1, math.ceil(len(others) + 1) // self.rf)
+            # survive iff within the top 1/rf of {others + me}
+            threshold = others[n_keep - 1] if n_keep <= len(others) else -math.inf
+            if sign * my < threshold:
+                return True
+        return False
+
+
+def _value_at(trial: Trial, rung: int) -> float | None:
+    """Best reported value at or before the rung step."""
+    vals = [v for s, v in trial.intermediate_values.items() if s <= rung]
+    return vals[-1] if vals else None
+
+
+class HyperbandPruner:
+    """Bracketed Successive Halving (reference defaults min=1, max=100, η=3).
+
+    A trial is deterministically assigned to a bracket by number; bracket b
+    applies SuccessiveHalving with early-stopping rate b (later rungs →
+    gentler pruning)."""
+
+    def __init__(self, min_resource: int = 1, max_resource: int | str = 100,
+                 reduction_factor: int = 3):
+        self.min_resource = min_resource
+        self.max_resource = 100 if max_resource == "auto" else int(max_resource)
+        self.rf = reduction_factor
+        self.n_brackets = (
+            int(math.log(max(self.max_resource / self.min_resource, 1), self.rf)) + 1
+        )
+        self._shas = [
+            SuccessiveHalvingPruner(min_resource, reduction_factor,
+                                    min_early_stopping_rate=b)
+            for b in range(self.n_brackets)
+        ]
+
+    def bracket_of(self, trial: Trial) -> int:
+        return trial.number % self.n_brackets
+
+    def prune(self, study: Study, trial: Trial) -> bool:
+        return self._shas[self.bracket_of(trial)].prune(study, trial)

@@ -54,6 +54,7 @@ def ASTModel(
         f_dim=128,
         dropout=0.0,  # timm eval-mode blocks carry no dropout
         dtype=dtype,
+        remat=True,   # ViT-Base @ ~1650 tokens: rematerialize blocks
     )
 
 

@@ -16,18 +16,27 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with timm-style packed qkv."""
+    """Multi-head self-attention with timm-style packed qkv.
+
+    On TPU, when attention-weight dropout is inactive, uses the Pallas flash
+    attention kernel (O(N) memory — AST's ~1650-token sequences would
+    otherwise materialize (B, H, N, N) softmax buffers in fwd+bwd). Sequences
+    are padded to the flash block size with segment-id masking so padding
+    never attends to (or is attended by) real tokens.
+    """
 
     dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -37,12 +46,41 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh**-0.5)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+        flash_ok = (
+            self.use_flash
+            and jax.default_backend() == "tpu"
+            and (self.dropout == 0.0 or not train)  # flash has no attn dropout
+        )
+        if flash_ok:
+            out = _flash_mha(q, k, v, sm_scale=dh**-0.5)       # (B,H,N,dh)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh**-0.5)
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+def _flash_mha(q, k, v, *, sm_scale: float):
+    """Pallas TPU flash attention with pad-to-block + segment-id masking."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    B, H, N, dh = q.shape
+    blk = 512 if N >= 512 else 128
+    n_pad = -(-N // blk) * blk
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)[None, :]  # 0 real, 1 pad
+    seg = jnp.broadcast_to(seg, (B, n_pad))
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=sm_scale
+    )
+    return out[:, :, :N]
 
 
 class Mlp(nn.Module):
@@ -68,11 +106,13 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.dropout, self.dtype, name="attn")(y, train)
+        x = x + Attention(self.dim, self.num_heads, self.dropout, self.dtype,
+                          self.use_flash, name="attn")(y, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
         return x
@@ -102,6 +142,8 @@ class ASTViT(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     sigmoid_head: bool = True
+    remat: bool = False   # rematerialize encoder blocks (memory ↔ FLOPs)
+    use_flash: bool = True
 
     @property
     def t_dim(self) -> int:
@@ -141,10 +183,11 @@ class ASTViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.emb_dim)).astype(self.dtype), x], axis=1)
         x = x + pos[:, : N + 1].astype(self.dtype)
 
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 self.emb_dim, self.num_heads, dropout=self.dropout,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
             )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(

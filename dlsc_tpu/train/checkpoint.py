@@ -41,14 +41,19 @@ class CheckpointManager:
         self._ckpt = ocp.StandardCheckpointer()
 
     # -- save ---------------------------------------------------------------
-    def _state_to_pytree(self, state) -> dict:
-        return {
+    def _state_to_pytree(self, state, to_host: bool = False) -> dict:
+        tree = {
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "rng": jax.random.key_data(state.rng),
         }
+        if to_host:
+            # pull to host numpy first: tensorstore's direct device
+            # serialization is unreliable on remote-tunnel TPU backends
+            tree = jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+        return tree
 
     def save(self, state, epoch: int, metrics: dict) -> Path | None:
         value = float(metrics.get(self.monitor, float("nan")))
@@ -67,7 +72,7 @@ class CheckpointManager:
         path = self.dirpath / name
         if path.exists():
             shutil.rmtree(path)
-        self._ckpt.save(path, self._state_to_pytree(state))
+        self._ckpt.save(path, self._state_to_pytree(state, to_host=True))
         self._ckpt.wait_until_finished()
         (path / "ckpt_meta.json").write_text(
             json.dumps({"epoch": epoch, self.monitor: value})

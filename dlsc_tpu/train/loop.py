@@ -110,8 +110,10 @@ class Trainer:
         sample = next(iter(datamodule.train_batches(epoch=0)))
         wave = jnp.asarray(sample["wave"][:2])
         labels = jnp.asarray(sample["label"][:2])
-        inputs, _ = pipeline.train_batch(wave, labels, jax.random.key(0))
-        variables = model.init(
+        # jit both init-time computations: eager op-by-op dispatch is
+        # pathologically slow on remote-compile TPU backends.
+        inputs, _ = jax.jit(pipeline.train_batch)(wave, labels, jax.random.key(0))
+        variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(self.seed), "dropout": jax.random.key(1)},
             inputs, train=False,
         )
@@ -129,22 +131,33 @@ class Trainer:
 
     def _compile_steps(self, pipeline, criterion):
         plan = self.plan
-        rep, bat = plan.replicated, plan.batch
         train = make_train_step(pipeline, criterion)
         evals = make_eval_step(pipeline, criterion)
-        self._train_step = jax.jit(
-            train, donate_argnums=(0, 1),
-            in_shardings=(rep, rep, bat, bat),
-            out_shardings=(rep, rep, rep),
-        )
-        self._eval_step = jax.jit(
-            evals, donate_argnums=(1,),
-            in_shardings=(rep, rep, bat, bat, bat),
-            out_shardings=(rep, bat),
-        )
+        if plan.mesh.size == 1:
+            # single chip: sharding annotations are no-ops; skip them (the
+            # GSPMD pass is expensive on remote-compile backends)
+            self._train_step = jax.jit(train, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(evals, donate_argnums=(1,))
+            self._sharded = False
+        else:
+            rep, bat = plan.replicated, plan.batch
+            self._train_step = jax.jit(
+                train, donate_argnums=(0, 1),
+                in_shardings=(rep, rep, bat, bat),
+                out_shardings=(rep, rep, rep),
+            )
+            self._eval_step = jax.jit(
+                evals, donate_argnums=(1,),
+                in_shardings=(rep, rep, bat, bat, bat),
+                out_shardings=(rep, bat),
+            )
+            self._sharded = True
 
     def _put(self, arr):
-        return jax.device_put(np.asarray(arr), self.plan.batch)
+        arr = np.asarray(arr)
+        if getattr(self, "_sharded", False):
+            return jax.device_put(arr, self.plan.batch)
+        return jax.device_put(arr, jax.devices()[0])
 
     # -- fit -------------------------------------------------------------------
     def fit(

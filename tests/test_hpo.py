@@ -1,0 +1,192 @@
+"""HPO layer tests: TPE convergence, Hyperband pruning, SQLite resume,
+space parsing — with stub objectives (SURVEY.md §4 level 6)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dlsc_tpu.config.core import Config
+from dlsc_tpu.hpo import (
+    HyperbandPruner,
+    HyperparameterSpace,
+    MedianPruner,
+    Study,
+    StudyManager,
+    TPESampler,
+    TrialPruned,
+    TrialState,
+)
+
+
+def test_tpe_beats_random_on_quadratic(tmp_path):
+    def objective(trial):
+        x = trial.suggest_float("x", -10, 10)
+        y = trial.suggest_float("y", 1e-3, 10, log=True)
+        return -((x - 3.0) ** 2) - (math.log(y) - math.log(0.1)) ** 2
+
+    study = Study("tpe_quad", tmp_path / "s.db", "maximize",
+                  sampler=TPESampler(n_startup_trials=10, seed=0))
+    study.optimize(objective, n_trials=60)
+    best = study.best_trial
+    assert abs(best.params["x"] - 3.0) < 1.5
+    assert abs(math.log(best.params["y"]) - math.log(0.1)) < 1.5
+    # TPE's post-startup samples should concentrate near the optimum
+    later = [t.params["x"] for t in study.trials[40:]]
+    assert abs(np.median(later) - 3.0) < 2.5
+
+
+def test_tpe_categorical(tmp_path):
+    def objective(trial):
+        c = trial.suggest_categorical("c", ["a", "b", "cbest"])
+        return 1.0 if c == "cbest" else 0.0
+
+    study = Study("tpe_cat", tmp_path / "s.db", "maximize",
+                  sampler=TPESampler(n_startup_trials=6, seed=0))
+    study.optimize(objective, n_trials=40)
+    later = [t.params["c"] for t in study.trials[25:]]
+    assert later.count("cbest") > len(later) * 0.5
+
+
+def test_int_and_step_distributions(tmp_path):
+    study = Study("ints", tmp_path / "s.db",
+                  sampler=TPESampler(n_startup_trials=2, seed=0))
+
+    def objective(trial):
+        n = trial.suggest_int("n", 2, 8, step=2)
+        assert n in (2, 4, 6, 8)
+        return float(n)
+
+    study.optimize(objective, n_trials=15)
+    assert study.best_value == 8.0
+
+
+def test_sqlite_resume_appends_trials(tmp_path):
+    db = tmp_path / "resume.db"
+
+    def objective(trial):
+        return trial.suggest_float("x", 0, 1)
+
+    s1 = Study("resume_me", db, sampler=TPESampler(seed=1))
+    s1.optimize(objective, n_trials=5)
+    # new process/object, same study name → resumes (load_if_exists)
+    s2 = Study("resume_me", db, sampler=TPESampler(seed=2))
+    assert len(s2.trials) == 5
+    s2.optimize(objective, n_trials=5)
+    assert len(s2.trials) == 10
+    assert {t.state for t in s2.trials} == {TrialState.COMPLETE}
+
+
+def test_failed_trials_dont_kill_sweep(tmp_path):
+    calls = []
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        calls.append(x)
+        if len(calls) % 2 == 0:
+            raise RuntimeError("boom")
+        return x
+
+    study = Study("faily", tmp_path / "s.db")
+    study.optimize(objective, n_trials=8)
+    assert len(study.trials_by_state(TrialState.FAIL)) == 4
+    assert len(study.trials_by_state(TrialState.COMPLETE)) == 4
+
+
+def test_hyperband_prunes_bad_trials(tmp_path):
+    pruner = HyperbandPruner(min_resource=1, max_resource=27, reduction_factor=3)
+    study = Study("hb", tmp_path / "s.db", "maximize",
+                  sampler=TPESampler(n_startup_trials=100, seed=0), pruner=pruner)
+
+    quality = {}
+
+    def objective(trial):
+        q = trial.suggest_float("q", 0, 1)
+        quality[trial.number] = q
+        for epoch in range(27):
+            trial.report(q * (epoch + 1) / 27, epoch + 1)
+            if trial.should_prune():
+                raise TrialPruned()
+        return q
+
+    study.optimize(objective, n_trials=30)
+    pruned = study.trials_by_state(TrialState.PRUNED)
+    complete = study.trials_by_state(TrialState.COMPLETE)
+    assert len(pruned) > 3, "hyperband should prune a fair share"
+    assert complete, "the best trials must survive"
+    # survivors should be better on average than pruned ones
+    q_done = np.mean([quality[t.number] for t in complete])
+    q_pruned = np.mean([quality[t.number] for t in pruned])
+    assert q_done > q_pruned
+
+
+def test_median_pruner(tmp_path):
+    study = Study("med", tmp_path / "s.db", "maximize",
+                  pruner=MedianPruner(n_startup_trials=2))
+
+    def objective(trial):
+        v = trial.suggest_float("v", 0, 1)
+        for epoch in range(5):
+            trial.report(v, epoch)
+            if trial.should_prune():
+                raise TrialPruned()
+        return v
+
+    study.optimize(objective, n_trials=20)
+    assert len(study.trials_by_state(TrialState.PRUNED)) > 2
+
+
+def test_study_manager_lifecycle(tmp_path):
+    mgr = StudyManager("mystudy", f"sqlite:///{tmp_path}/db.db", "maximize")
+    study = mgr.create_study()
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=3)
+    lst = mgr.list_studies()
+    assert lst and lst[0]["study_name"] == "mystudy" and lst[0]["n_trials"] == 3
+    s = study.summary()
+    assert s["n_trials"] == 3 and "best_value" in s
+    mgr.delete_study()
+    assert mgr.list_studies() == []
+
+
+def test_space_parsing_and_patching():
+    tree = {
+        "optimizer": {
+            "lr": {"type": "float", "low": 1e-5, "high": 1e-4, "log": True},
+            "weight_decay": {"type": "float", "low": 1e-3, "high": 1e-2, "log": True},
+        },
+        "scheduler": {"T_max": {"type": "int", "low": 150, "high": 250}},
+        "batch_size": {"type": "categorical", "choices": [64, 128, 256]},
+        "loss": {"label_smoothing": {"type": "float", "low": 0.05, "high": 0.4}},
+    }
+    space = HyperparameterSpace.from_nested(tree)
+    assert set(space.names()) == {
+        "optimizer.lr", "optimizer.weight_decay", "scheduler.T_max",
+        "batch_size", "loss.label_smoothing",
+    }
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        study = Study("sp", f"{d}/s.db")
+        trial = study.ask()
+        params = space.suggest_parameters(trial)
+    assert 1e-5 <= params["optimizer.lr"] <= 1e-4
+    assert params["batch_size"] in (64, 128, 256)
+
+    cfg = Config({"optimizer": {"lr": 1.0}, "batch_size": 1})
+    HyperparameterSpace.update_config_with_params(cfg, params)
+    assert cfg.optimizer.lr == params["optimizer.lr"]
+    assert cfg.select("scheduler.T_max") == params["scheduler.T_max"]
+
+
+def test_space_from_model_config(tmp_path):
+    d = tmp_path / "spaces"
+    (d / "models").mkdir(parents=True)
+    (d / "training.yaml").write_text(
+        "optimizer:\n  lr: {type: float, low: 1e-5, high: 1e-2, log: true}\n")
+    (d / "loss.yaml").write_text(
+        "loss:\n  label_smoothing: {type: float, low: 0.0, high: 0.3}\n")
+    (d / "models" / "leaf.yaml").write_text(
+        "model:\n  n_filters: {type: categorical, choices: [64, 128]}\n")
+    cfg = Config({"model": {"_target_": "src.models.leaf.LeafModel"}})
+    space = HyperparameterSpace.from_model_config(cfg, d)
+    assert set(space.names()) == {"optimizer.lr", "loss.label_smoothing",
+                                  "model.n_filters"}
