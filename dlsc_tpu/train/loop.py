@@ -374,7 +374,10 @@ def build_from_cfg(cfg) -> dict:
 
     model_cfg = cfg.model.to_dict()
     model_cfg.pop("dataset_overrides", None)
-    model = instantiate({**model_cfg, "dtype": dtype})
+    try:
+        model = instantiate({**model_cfg, "dtype": dtype})
+    except TypeError:  # model doesn't take a dtype knob
+        model = instantiate(model_cfg)
     criterion = instantiate(cfg.loss.to_dict()) if "loss" in cfg else CrossEntropyLoss()
     optim_spec = instantiate(cfg.optimizer.to_dict())
     sched_spec = instantiate(cfg.scheduler.to_dict()) if "scheduler" in cfg else None

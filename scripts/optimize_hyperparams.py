@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Hyperparameter optimization entry (reference: scripts/optimize_hyperparams.py).
+
+Usage:
+    python scripts/optimize_hyperparams.py                       # leaf sweep
+    python scripts/optimize_hyperparams.py model=envnet_v2 optuna.n_trials=20
+    python scripts/optimize_hyperparams.py optuna.study_name=my_study
+
+Flow (SURVEY.md §3.2): modular search space from
+configs/optimization/hyperparameter_spaces (training+loss+model), TPE +
+Hyperband study on SQLite (resumable via study_name), per-trial train/eval
+with per-epoch pruning, best-config export.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import scripts.train as train_script
+from dlsc_tpu.config import compose
+from dlsc_tpu.hpo import HyperparameterSpace, StudyManager
+from dlsc_tpu.hpo.runner import HPORunner
+from dlsc_tpu.tracking import Tracker
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+SPACES_DIR = CONFIG_DIR / "optimization" / "hyperparameter_spaces"
+
+
+def build_runner(cfg, trainer_overrides: dict | None = None) -> HPORunner:
+    space = HyperparameterSpace.from_model_config(cfg, SPACES_DIR)
+    if not len(space):
+        raise SystemExit("empty search space — add YAMLs under "
+                         f"{SPACES_DIR} for this model")
+    optuna_cfg = cfg.optuna.to_dict()
+    manager = StudyManager.from_config(optuna_cfg)
+    study = manager.create_study(load_if_exists=True)
+    tracker = Tracker(cfg.select("logging.experiment_name", default="optuna"))
+    return HPORunner(
+        study=study,
+        base_cfg=cfg,
+        space=space,
+        monitor=optuna_cfg.get("monitor", "val/acc"),
+        min_epochs=int(optuna_cfg.get("min_epochs", 0)),
+        n_trials=int(optuna_cfg.get("n_trials", 50)),
+        timeout=optuna_cfg.get("timeout"),
+        output_dir=optuna_cfg.get("output_dir", "outputs/optimization"),
+        tracker=tracker,
+        trainer_overrides=trainer_overrides,
+    )
+
+
+def main(argv: list[str] | None = None):
+    argv = list(argv if argv is not None else sys.argv[1:])
+    config_path, config_name, overrides = train_script.parse_cli(argv)
+    if config_name == "training":
+        config_name = "optimization"
+    cfg = compose(config_path, config_name, overrides)
+    train_script.fix_seed(int(cfg.select("seed", default=42)))
+
+    runner = build_runner(cfg)
+    print(f"search space ({len(runner.space)} params): {runner.space.names()}")
+    runner.optimize()
+
+    summary = runner.summary()
+    print("\n=== study summary ===")
+    for k, v in summary.items():
+        print(f"  {k}: {v}")
+    best_path = runner.save_best_config(
+        Path(cfg.select("optuna.output_dir", default="outputs/optimization"))
+        / cfg.select("optuna.best_config_path", default="best_config.yaml")
+    )
+    print(f"best config → {best_path}")
+    return runner
+
+
+if __name__ == "__main__":
+    main()
