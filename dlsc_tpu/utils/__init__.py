@@ -1,0 +1,5 @@
+"""Shared utilities: compilation cache, seeding, profiling helpers."""
+
+from dlsc_tpu.utils.runtime import enable_compilation_cache, fix_seed
+
+__all__ = ["enable_compilation_cache", "fix_seed"]

@@ -75,6 +75,9 @@ def build_datamodule(cfg):
 
 
 def run(cfg) -> dict:
+    from dlsc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     fix_seed(int(cfg.select("seed", default=42)))
     run_dir = Path(cfg.select("hydra.run.dir", default="outputs/run"))
     run_dir.mkdir(parents=True, exist_ok=True)
