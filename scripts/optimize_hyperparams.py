@@ -52,6 +52,40 @@ def build_runner(cfg, trainer_overrides: dict | None = None) -> HPORunner:
     )
 
 
+def run_vmapped(cfg):
+    """TPU-native mode: K lockstep trials per jitted program
+    (dlsc_tpu.hpo.vmapped). Enable with optuna.vmapped.enabled=true;
+    vmappable hyperparameters are optimizer.lr / optimizer.weight_decay /
+    loss.label_smoothing."""
+    from dlsc_tpu.hpo import StudyManager
+    from dlsc_tpu.hpo.vmapped import VmappedTrialRunner
+    from dlsc_tpu.train import build_from_cfg
+
+    optuna_cfg = cfg.optuna.to_dict()
+    vm = optuna_cfg.get("vmapped", {})
+    k = int(vm.get("k", 8))
+    rounds = int(vm.get("rounds", max(optuna_cfg.get("n_trials", 16) // k, 1)))
+
+    datamodule = train_script.build_datamodule(cfg)
+    built = build_from_cfg(cfg)
+    manager = StudyManager.from_config(optuna_cfg)
+    study = manager.create_study(load_if_exists=True)
+
+    runner = VmappedTrialRunner(
+        study, built["model"], datamodule.pipeline, datamodule,
+        epochs=int(cfg.select("trainer.max_epochs", default=10)),
+        gradient_clip_val=cfg.select("trainer.gradient_clip_val", default=1.0),
+        min_epochs=int(optuna_cfg.get("min_epochs", 0)),
+        seed=int(cfg.select("seed", default=42)),
+    )
+    for r in range(rounds):
+        result = runner.run_batch(k=k)
+        print(f"[vmapped round {r}] trials {result.trial_numbers} "
+              f"values {['%.4f' % v for v in result.values]}")
+    print(study.summary())
+    return study
+
+
 def main(argv: list[str] | None = None):
     argv = list(argv if argv is not None else sys.argv[1:])
     config_path, config_name, overrides = train_script.parse_cli(argv)
@@ -59,6 +93,9 @@ def main(argv: list[str] | None = None):
         config_name = "optimization"
     cfg = compose(config_path, config_name, overrides)
     train_script.fix_seed(int(cfg.select("seed", default=42)))
+
+    if cfg.select("optuna.vmapped.enabled", default=False):
+        return run_vmapped(cfg)
 
     runner = build_runner(cfg)
     print(f"search space ({len(runner.space)} params): {runner.space.names()}")

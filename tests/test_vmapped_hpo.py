@@ -1,0 +1,99 @@
+"""Vmapped multi-trial HPO: K lockstep trials must match sequential-trial
+semantics (per-trial hyperparams actually take effect, study gets per-epoch
+reports, pruning marks slots)."""
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dlsc_tpu.data import ESC50DataModule
+from dlsc_tpu.data.synthetic import make_synthetic_dataset
+from dlsc_tpu.hpo import Study, TPESampler, TrialState
+from dlsc_tpu.hpo.hyperband import HyperbandPruner
+from dlsc_tpu.hpo.vmapped import VmappedTrialRunner
+
+
+class VTiny(nn.Module):
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[..., None]
+        x = nn.Conv(8, (5, 5), (4, 4))(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_classes)(x.reshape(x.shape[0], -1))
+
+
+@pytest.fixture(scope="module")
+def dm(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vsynth")
+    make_synthetic_dataset(root, num_classes=10, clips_per_class_per_fold=2,
+                           clip_samples=8000)
+    return ESC50DataModule(
+        root=str(root), num_classes=10, fold=0, val_split=0.2, batch_size=16,
+        preprocessing_mode="ast", is_spectrogram=True,
+    )
+
+
+def test_vmapped_batch_runs_and_reports(dm, tmp_path):
+    study = Study("vmap_hpo", tmp_path / "v.db", "maximize",
+                  sampler=TPESampler(seed=0))
+    runner = VmappedTrialRunner(
+        study, VTiny(), dm.pipeline, dm, epochs=3, seed=0,
+        lr_space={"type": "float", "low": 1e-4, "high": 1e-2, "log": True},
+    )
+    result = runner.run_batch(k=4)
+    assert len(result.trial_numbers) == 4
+    trials = study.trials
+    assert len(trials) == 4
+    # every trial got per-epoch reports and a terminal state
+    for t in trials:
+        assert len(t.intermediate_values) >= 1
+        assert t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+    done = study.trials_by_state(TrialState.COMPLETE)
+    assert done
+    # different lrs were actually used
+    lrs = {round(t.params["optimizer.lr"], 8) for t in trials}
+    assert len(lrs) == 4
+
+
+def test_vmapped_lr_effect_is_per_trial(dm, tmp_path):
+    """A near-zero-lr slot must learn less than a sensible-lr slot — proves
+    hyperparameters ride per-slot through inject_hyperparams."""
+    study = Study("vmap_fx", tmp_path / "v2.db", "maximize",
+                  sampler=TPESampler(seed=0))
+    runner = VmappedTrialRunner(
+        study, VTiny(), dm.pipeline, dm, epochs=4, seed=0,
+    )
+    # monkeypatch the ask to force controlled lrs
+    trials_lrs = [1e-9, 5e-3]
+
+    def fixed_ask(k):
+        ts, lrs, wds, lss = [], [], [], []
+        for i in range(k):
+            t = study.ask()
+            t.params["optimizer.lr"] = trials_lrs[i]
+            t.params["optimizer.weight_decay"] = 1e-6
+            ts.append(t)
+            lrs.append(trials_lrs[i]); wds.append(1e-6); lss.append(0.0)
+        return ts, np.asarray(lrs), np.asarray(wds), np.asarray(lss)
+
+    runner._ask_batch = fixed_ask
+    result = runner.run_batch(k=2)
+    frozen_curve = [h["train_acc"][0] for h in result.history]
+    live_curve = [h["train_acc"][1] for h in result.history]
+    assert live_curve[-1] > frozen_curve[-1] + 0.1, (frozen_curve, live_curve)
+
+
+def test_vmapped_with_hyperband_pruning(dm, tmp_path):
+    study = Study("vmap_hb", tmp_path / "v3.db", "maximize",
+                  sampler=TPESampler(seed=1),
+                  pruner=HyperbandPruner(min_resource=1, max_resource=3,
+                                         reduction_factor=2))
+    runner = VmappedTrialRunner(study, VTiny(), dm.pipeline, dm, epochs=3,
+                                seed=1)
+    runner.run_batch(k=4)
+    states = {t.state for t in study.trials}
+    assert states <= {TrialState.COMPLETE, TrialState.PRUNED}
