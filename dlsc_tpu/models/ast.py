@@ -110,21 +110,31 @@ def load_torch_vit(
     )
     put(["pos_embed"], new_pos)
 
-    for i in range(model.depth):
+    def block_entries(i: int) -> dict[tuple[str, ...], np.ndarray]:
         b = f"blocks.{i}."
-        g = f"blocks_{i}"
-        put([g, "norm1", "scale"], sd[b + "norm1.weight"])
-        put([g, "norm1", "bias"], sd[b + "norm1.bias"])
-        put([g, "attn", "qkv", "kernel"], sd[b + "attn.qkv.weight"].T)
-        put([g, "attn", "qkv", "bias"], sd[b + "attn.qkv.bias"])
-        put([g, "attn", "proj", "kernel"], sd[b + "attn.proj.weight"].T)
-        put([g, "attn", "proj", "bias"], sd[b + "attn.proj.bias"])
-        put([g, "norm2", "scale"], sd[b + "norm2.weight"])
-        put([g, "norm2", "bias"], sd[b + "norm2.bias"])
-        put([g, "mlp", "fc1", "kernel"], sd[b + "mlp.fc1.weight"].T)
-        put([g, "mlp", "fc1", "bias"], sd[b + "mlp.fc1.bias"])
-        put([g, "mlp", "fc2", "kernel"], sd[b + "mlp.fc2.weight"].T)
-        put([g, "mlp", "fc2", "bias"], sd[b + "mlp.fc2.bias"])
+        return {
+            ("norm1", "scale"): sd[b + "norm1.weight"],
+            ("norm1", "bias"): sd[b + "norm1.bias"],
+            ("attn", "qkv", "kernel"): sd[b + "attn.qkv.weight"].T,
+            ("attn", "qkv", "bias"): sd[b + "attn.qkv.bias"],
+            ("attn", "proj", "kernel"): sd[b + "attn.proj.weight"].T,
+            ("attn", "proj", "bias"): sd[b + "attn.proj.bias"],
+            ("norm2", "scale"): sd[b + "norm2.weight"],
+            ("norm2", "bias"): sd[b + "norm2.bias"],
+            ("mlp", "fc1", "kernel"): sd[b + "mlp.fc1.weight"].T,
+            ("mlp", "fc1", "bias"): sd[b + "mlp.fc1.bias"],
+            ("mlp", "fc2", "kernel"): sd[b + "mlp.fc2.weight"].T,
+            ("mlp", "fc2", "bias"): sd[b + "mlp.fc2.bias"],
+        }
+
+    if "blocks" in p:  # nn.scan layout: stacked (depth, ...) block params
+        for path in block_entries(0):
+            stacked = np.stack([block_entries(i)[path] for i in range(model.depth)])
+            put(["blocks", "block", *path], stacked)
+    else:              # unrolled layout: blocks_{i} modules
+        for i in range(model.depth):
+            for path, val in block_entries(i).items():
+                put([f"blocks_{i}", *path], val)
 
     put(["norm", "scale"], sd["norm.weight"])
     put(["norm", "bias"], sd["norm.bias"])

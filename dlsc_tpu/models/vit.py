@@ -118,6 +118,23 @@ class Block(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """Block wrapped for nn.scan: carry = token matrix."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
+                  self.dtype, self.use_flash, name="block")(x, train)
+        return x, None
+
+
 class ASTViT(nn.Module):
     """Audio-spectrogram ViT trunk with the reference's conventions:
 
@@ -142,8 +159,10 @@ class ASTViT(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     sigmoid_head: bool = True
-    remat: bool = False   # rematerialize encoder blocks (memory ↔ FLOPs)
+    remat: bool = False        # rematerialize encoder blocks (memory ↔ FLOPs)
     use_flash: bool = True
+    scan_blocks: bool = True   # lax.scan over blocks: ~depth× smaller HLO
+                               # (compile time), stacked block params
 
     @property
     def t_dim(self) -> int:
@@ -183,12 +202,27 @@ class ASTViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.emb_dim)).astype(self.dtype), x], axis=1)
         x = x + pos[:, : N + 1].astype(self.dtype)
 
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
-        for i in range(self.depth):
-            x = block_cls(
-                self.emb_dim, self.num_heads, dropout=self.dropout,
-                dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
-            )(x, train)
+        if self.scan_blocks:
+            body = _ScanBlock
+            if self.remat:
+                body = nn.remat(body, static_argnums=(2,))
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=nn.broadcast,  # `train` is loop-invariant
+                metadata_params={nn.PARTITION_NAME: None},
+            )(self.emb_dim, self.num_heads, dropout=self.dropout,
+              dtype=self.dtype, use_flash=self.use_flash, name="blocks")
+            x, _ = scanned(x, train)
+        else:
+            block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+            for i in range(self.depth):
+                x = block_cls(
+                    self.emb_dim, self.num_heads, dropout=self.dropout,
+                    dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
+                )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
             x[:, 0].astype(jnp.float32)

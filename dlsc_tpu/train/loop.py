@@ -64,6 +64,20 @@ class EarlyStopping:
         return self.bad_epochs >= self.patience
 
 
+class _SingleDevicePlan:
+    """Mesh-free stand-in for MeshPlan on a single chip."""
+
+    class _M:
+        size = 1
+        shape = {"data": 1, "model": 1}
+
+    mesh = _M()
+    n_data = 1
+
+    def pad_batch(self, n: int) -> int:
+        return n
+
+
 class Trainer:
     def __init__(
         self,
@@ -98,6 +112,8 @@ class Trainer:
         if debug_nans:
             jax.config.update("jax_debug_nans", True)  # sanitizer toggle (§5.2)
         n_dev = None if devices in ("auto", None) else int(devices)
+        if plan is None and (n_dev or jax.device_count()) == 1:
+            plan = _SingleDevicePlan()  # no mesh on a single chip
         self.plan = plan or make_plan(n_dev)
         self.state: TrainState | None = None
         self.ckpt_manager: CheckpointManager | None = None
@@ -178,7 +194,12 @@ class Trainer:
         pipeline = datamodule.pipeline
         num_classes = datamodule.num_classes
 
+        import logging
+
+        log = logging.getLogger("dlsc_tpu.train")
+        log.info("initializing state (pipeline + model init compiles)…")
         state = self.init_state(model, datamodule, optim_spec, sched_spec)
+        log.info("state ready; compiling steps on first batch…")
         if ckpt_path:
             from dlsc_tpu.train.checkpoint import restore_state
 

@@ -20,6 +20,8 @@ _DEFAULT_CACHE = Path(
 
 
 def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
+    if os.environ.get("DLSC_DISABLE_COMPILE_CACHE") == "1":
+        return
     import jax
 
     path = Path(cache_dir or _DEFAULT_CACHE)
