@@ -64,9 +64,13 @@ class Attention(nn.Module):
 
 
 def _flash_mha(q, k, v, *, sm_scale: float):
-    """Pallas TPU flash attention with pad-to-block + segment-id masking."""
+    """Pallas TPU flash attention with pad-to-block + segment-id masking.
+
+    Explicit BlockSizes matter: the library defaults pick small blocks that
+    run ~5x slower at AST's ~1650-token sequences (measured 109 ms → 20 ms
+    at (64, 12, 2048, 64) on v5e with 1024-wide blocks)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention,
+        BlockSizes, SegmentIds, flash_attention,
     )
 
     B, H, N, dh = q.shape
@@ -77,8 +81,15 @@ def _flash_mha(q, k, v, *, sm_scale: float):
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
     seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)[None, :]  # 0 real, 1 pad
     seg = jnp.broadcast_to(seg, (B, n_pad))
+    b = min(1024, n_pad)
+    bs = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b, block_q_dkv=b,
+        block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
     out = flash_attention(
-        q, k, v, segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=sm_scale
+        q, k, v, segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=sm_scale,
+        block_sizes=bs,
     )
     return out[:, :, :N]
 
