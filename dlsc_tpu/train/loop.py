@@ -96,8 +96,10 @@ class Trainer:
         accelerator: str = "auto",
         seed: int = 42,
         plan: MeshPlan | None = None,
+        profile_dir: str | Path | None = None,  # jax.profiler trace of epoch 0
         **_: Any,
     ):
+        self.profile_dir = profile_dir
         self.max_epochs = max_epochs
         self.precision = str(precision)
         self.gradient_clip_val = gradient_clip_val
@@ -231,15 +233,24 @@ class Trainer:
 
                 it = tqdm(it, total=datamodule.steps_per_epoch,
                           desc=f"epoch {epoch}", leave=False)
-            for i, batch in enumerate(it):
-                if self.limit_train_batches and i >= self.limit_train_batches:
-                    break
-                state, ms, loss = self._train_step(
-                    state, ms, self._put(batch["wave"]), self._put(batch["label"])
-                )
-                n_clips += len(batch["label"])
-                if tracker and (i + 1) % log_every == 0:
-                    tracker.log_metric("train/loss_step", float(loss), int(state.step))
+            import contextlib
+
+            prof_ctx = contextlib.nullcontext()
+            if self.profile_dir and epoch == epoch0:
+                from dlsc_tpu.utils.profiling import trace
+
+                prof_ctx = trace(self.profile_dir)
+            with prof_ctx:
+                for i, batch in enumerate(it):
+                    if self.limit_train_batches and i >= self.limit_train_batches:
+                        break
+                    state, ms, loss = self._train_step(
+                        state, ms, self._put(batch["wave"]), self._put(batch["label"])
+                    )
+                    n_clips += len(batch["label"])
+                    if tracker and (i + 1) % log_every == 0:
+                        tracker.log_metric("train/loss_step", float(loss),
+                                           int(state.step))
             jax.block_until_ready(state.params)
             dt = time.time() - t0
             metrics = {
