@@ -35,6 +35,20 @@ def one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
     return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
 
+def pad_or_trim(wave: jax.Array, target_len: int) -> jax.Array:
+    """Wrap-pad short clips / center-trim long ones to ``target_len``
+    (reference: src/utils/audio.py:134-152). Works on (..., T)."""
+    T = wave.shape[-1]
+    if T == target_len:
+        return wave
+    if T < target_len:
+        reps = -(-target_len // T)
+        tiled = jnp.concatenate([wave] * reps, axis=-1)
+        return jax.lax.slice_in_dim(tiled, 0, target_len, axis=-1)
+    start = (T - target_len) // 2
+    return jax.lax.slice_in_dim(wave, start, start + target_len, axis=-1)
+
+
 # --------------------------------------------------------------------------- #
 # Waveform crops (reference: preprocessing.py:829-884)
 # --------------------------------------------------------------------------- #

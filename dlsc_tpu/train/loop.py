@@ -64,6 +64,37 @@ class EarlyStopping:
         return self.bad_epochs >= self.patience
 
 
+class _SWA:
+    """Stochastic Weight Averaging (reference: src/training/callbacks.py:71-79,
+    Lightning's optional SWA callback): average parameter snapshots from
+    ``swa_epoch_start`` onward; at fit end the average replaces the weights
+    and BatchNorm statistics are refreshed with one training-data pass."""
+
+    def __init__(self, swa_epoch_start: float | int = 0.8, max_epochs: int = 100,
+                 **_):
+        if isinstance(swa_epoch_start, float) and swa_epoch_start <= 1.0:
+            self.start_epoch = int(swa_epoch_start * max_epochs)
+        else:
+            self.start_epoch = int(swa_epoch_start)
+        self.avg_params = None
+        self.n_models = 0
+
+    def update(self, epoch: int, state) -> None:
+        if epoch < self.start_epoch:
+            return
+        n = self.n_models
+        if self.avg_params is None:
+            # deep copy: the next donated train step deletes these buffers
+            self.avg_params = jax.tree_util.tree_map(
+                lambda p: p + 0, state.params
+            )
+        else:
+            self.avg_params = jax.tree_util.tree_map(
+                lambda avg, p: (avg * n + p) / (n + 1), self.avg_params, state.params
+            )
+        self.n_models = n + 1
+
+
 class _SingleDevicePlan:
     """Mesh-free stand-in for MeshPlan on a single chip."""
 
@@ -190,6 +221,7 @@ class Trainer:
         early_stop_cfg: dict | None = None,
         ckpt_path: str | None = None,
         callbacks: Sequence[Any] = (),
+        swa_cfg: dict | None = None,
     ) -> TrainState:
         criterion = criterion or CrossEntropyLoss()
         datamodule.setup()
@@ -217,6 +249,7 @@ class Trainer:
             if self.enable_checkpointing else None
         )
         stopper = EarlyStopping(**early_stop_cfg) if early_stop_cfg else None
+        swa = _SWA(**swa_cfg, max_epochs=self.max_epochs) if swa_cfg else None
 
         log_every = self.log_every_n_steps or max(datamodule.steps_per_epoch, 1)
         history: list[dict] = []
@@ -288,6 +321,8 @@ class Trainer:
                 hook = getattr(cb, "on_validation_epoch_end", None)
                 if hook:
                     hook(self, epoch, metrics)
+            if swa:
+                swa.update(epoch, state)
             if stopper and stopper.update(metrics):
                 print(f"Early stopping at epoch {epoch} "
                       f"(best {stopper.monitor}={stopper.best:.4f})")
@@ -295,10 +330,39 @@ class Trainer:
             if self.should_stop:
                 break
 
+        if swa and swa.avg_params is not None:
+            state = state.replace(params=swa.avg_params)
+            state = self._refresh_batch_stats(state, datamodule)
+            print(f"SWA: averaged {swa.n_models} snapshots into final weights")
+
         self.state = state
         self.history = history
         if tracker and history:
             self._plot_curves(tracker, history)
+        return state
+
+    def _refresh_batch_stats(self, state: TrainState, datamodule) -> TrainState:
+        """One pass over train data in train mode to re-estimate BatchNorm
+        statistics for SWA-averaged weights (no parameter updates)."""
+        if state.batch_stats is None:
+            return state
+        pipeline = datamodule.pipeline
+
+        @jax.jit
+        def bn_step(state, wave, labels):
+            rng, k_pipe, k_drop = jax.random.split(state.rng, 3)
+            inputs, _ = pipeline.train_batch(wave, labels, k_pipe)
+            _, mut = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                inputs, train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            return state.replace(rng=rng, batch_stats=mut["batch_stats"])
+
+        for i, batch in enumerate(datamodule.train_batches(epoch=0, seed=self.seed)):
+            if self.limit_train_batches and i >= self.limit_train_batches:
+                break
+            state = bn_step(state, self._put(batch["wave"]), self._put(batch["label"]))
         return state
 
     # -- test ---------------------------------------------------------------------

@@ -152,3 +152,28 @@ def test_callbacks_and_should_stop(dm_root):
                       enable_checkpointing=False, seed=0)
     trainer.fit(TinyModel(), dm, adam(lr=1e-3), callbacks=[StopAt1()])
     assert trainer.history[-1]["epoch"] == 1
+
+
+def test_swa_averaging(dm_root):
+    dm = _dm(dm_root)
+    trainer = Trainer(max_epochs=4, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0)
+    state = trainer.fit(
+        TinyModel(), dm, adam(lr=3e-3),
+        swa_cfg={"swa_epoch_start": 0.5},
+    )
+    # SWA averaged the tail epochs and the model still evaluates
+    results = trainer.test(dm, state=state, ckpt=None)
+    assert 0.0 <= results["test/acc"] <= 1.0
+
+
+def test_pad_or_trim_op():
+    import jax.numpy as jnp
+    from dlsc_tpu.ops.augment import pad_or_trim
+
+    x = jnp.arange(10.0)[None]
+    short = pad_or_trim(x, 25)
+    assert short.shape == (1, 25)
+    np.testing.assert_array_equal(np.asarray(short[0, 10:20]), np.arange(10.0))
+    long = pad_or_trim(x, 4)
+    np.testing.assert_array_equal(np.asarray(long[0]), [3.0, 4.0, 5.0, 6.0])
