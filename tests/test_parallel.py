@@ -146,3 +146,27 @@ def test_multi_crop_eval_step():
     ms, logits = es(state, ms, wave, labels, jnp.ones(4, bool))
     assert logits.shape == (4, 10)
     assert int(ms.count) == 4
+
+
+def test_dp_tp_dryrun():
+    """Full dp x tp training step on the 8-device mesh (via __graft_entry__)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_tp_sharding_rules():
+    from dlsc_tpu.models.vit import ASTViT
+    from dlsc_tpu.parallel.tp import vit_param_shardings
+
+    model = ASTViT(num_classes=5, emb_dim=32, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dtype=jnp.float32)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 128, 64)), train=False)
+    mesh = get_mesh(8, model_parallel=2)
+    sh = vit_param_shardings(v["params"], mesh)
+    qkv = sh["blocks"]["block"]["attn"]["qkv"]["kernel"].spec
+    assert "model" in str(qkv)
+    fc2 = sh["blocks"]["block"]["mlp"]["fc2"]["kernel"].spec
+    assert str(fc2).count("model") == 1
+    # norms replicated
+    assert str(sh["norm"]["scale"].spec) == "PartitionSpec()"
