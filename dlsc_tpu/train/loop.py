@@ -273,14 +273,20 @@ class Trainer:
                 from dlsc_tpu.utils.profiling import trace
 
                 prof_ctx = trace(self.profile_dir)
+            from dlsc_tpu.data.loader import prefetch
+
+            def to_device(batch):
+                return (self._put(batch["wave"]), self._put(batch["label"]),
+                        len(batch["label"]))
+
             with prof_ctx:
-                for i, batch in enumerate(it):
+                for i, (wave_d, label_d, n) in enumerate(
+                    prefetch(it, to_device, size=2)
+                ):
                     if self.limit_train_batches and i >= self.limit_train_batches:
                         break
-                    state, ms, loss = self._train_step(
-                        state, ms, self._put(batch["wave"]), self._put(batch["label"])
-                    )
-                    n_clips += len(batch["label"])
+                    state, ms, loss = self._train_step(state, ms, wave_d, label_d)
+                    n_clips += n
                     if tracker and (i + 1) % log_every == 0:
                         tracker.log_metric("train/loss_step", float(loss),
                                            int(state.step))
