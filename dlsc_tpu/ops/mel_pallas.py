@@ -74,12 +74,12 @@ def _dft_mel_constants(cfg: M.MelConfig) -> tuple[np.ndarray, np.ndarray, np.nda
     return (*split(cos_w), *split(sin_w), *split(fb_trim))
 
 
-def _make_kernel(hop: int, n_fft: int, chunk: int):
+def _make_kernel(hop: int, n_fft: int, chunk: int, frame_tile: int = FRAME_TILE):
     lane = 128
     mis0 = hop % lane
     n_phase = lane // math_gcd(mis0, lane) if mis0 else 1
     assert (n_phase * hop) % lane == 0, (hop, n_phase)
-    assert FRAME_TILE % n_phase == 0
+    assert frame_tile % n_phase == 0
 
     def kernel(chunk_ref, cos_hi, cos_lo, sin_hi, sin_lo, fb_hi, fb_lo,
                out_ref, rolls, frames):
@@ -99,7 +99,7 @@ def _make_kernel(hop: int, n_fft: int, chunk: int):
                     frames[n_phase * j + r, :] = chunk_ref[0, 0, 0, pl.ds(start, n_fft)]
                 return 0
 
-            jax.lax.fori_loop(0, FRAME_TILE // n_phase, body, 0)
+            jax.lax.fori_loop(0, frame_tile // n_phase, body, 0)
         # Manual bf16x3 matmuls: single-pass bf16 costs ~3e-3 relative error
         # (breaks the 1e-3 parity target) and Precision.HIGHEST (f32 multi-
         # pass) costs ~2x wall time. Splitting each f32 operand into a bf16
@@ -127,7 +127,8 @@ def _make_kernel(hop: int, n_fft: int, chunk: int):
 
 
 def mel_power_pallas(
-    wave: jax.Array, cfg: M.MelConfig = M.MelConfig(), *, interpret: bool = False
+    wave: jax.Array, cfg: M.MelConfig = M.MelConfig(), *, interpret: bool = False,
+    frame_tile: int = FRAME_TILE,
 ) -> jax.Array:
     """Fused mel power spectrogram: (B, T) waveform → (B, n_mels, n_frames).
 
@@ -135,23 +136,24 @@ def mel_power_pallas(
     kernel in the Pallas interpreter (for CPU tests).
     """
     if wave.ndim == 1:
-        return mel_power_pallas(wave[None], cfg, interpret=interpret)[0]
+        return mel_power_pallas(wave[None], cfg, interpret=interpret,
+                                frame_tile=frame_tile)[0]
     assert wave.ndim == 2, wave.shape
     B, T = wave.shape
     hop, n_fft = cfg.hop_length, cfg.n_fft
     n_frames = cfg.num_frames(T)
-    n_tiles = pl.cdiv(n_frames, FRAME_TILE)
-    chunk = -(-((FRAME_TILE - 1) * hop + n_fft) // 128) * 128  # lane-aligned
+    n_tiles = pl.cdiv(n_frames, frame_tile)
+    chunk = -(-((frame_tile - 1) * hop + n_fft) // 128) * 128  # lane-aligned
 
     # center=True reflect pad, then right-pad so every tile's gather is in range.
     pad = n_fft // 2
     padded = jnp.pad(wave.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    need = (n_tiles - 1) * (FRAME_TILE * hop) + chunk
+    need = (n_tiles - 1) * (frame_tile * hop) + chunk
     if padded.shape[1] < need:
         padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
     # Overlapping per-tile chunks (overlap = n_fft - hop): one XLA gather, so
     # the Pallas grid pipeline can double-buffer plain (b, t) blocks.
-    starts = jnp.arange(n_tiles) * (FRAME_TILE * hop)
+    starts = jnp.arange(n_tiles) * (frame_tile * hop)
     idx = starts[:, None] + jnp.arange(chunk)[None, :]
     chunks = padded[:, idx][:, :, None, :]                  # (B, n_tiles, 1, chunk)
 
@@ -162,7 +164,7 @@ def mel_power_pallas(
         shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _make_kernel(hop, n_fft, chunk),
+        _make_kernel(hop, n_fft, chunk, frame_tile),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, 1, chunk), lambda b, t: (b, t, 0, 0),
@@ -170,21 +172,21 @@ def mel_power_pallas(
             *[const_spec(c.shape) for c in consts],
         ],
         out_specs=pl.BlockSpec(
-            (1, FRAME_TILE, cfg.n_mels), lambda b, t: (b, t, 0),
+            (1, frame_tile, cfg.n_mels), lambda b, t: (b, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * FRAME_TILE, cfg.n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * frame_tile, cfg.n_mels), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.float32),            # rotated copy
-            pltpu.VMEM((FRAME_TILE, n_fft), jnp.float32),   # frame matrix
+            pltpu.VMEM((frame_tile, n_fft), jnp.float32),   # frame matrix
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_tiles * FRAME_TILE * n_fft * n_freq * 2
-            + 2 * B * n_tiles * FRAME_TILE * n_freq * cfg.n_mels,
-            bytes_accessed=4 * (B * n_tiles * chunk + B * n_tiles * FRAME_TILE * cfg.n_mels),
+            flops=2 * B * n_tiles * frame_tile * n_fft * n_freq * 2
+            + 2 * B * n_tiles * frame_tile * n_freq * cfg.n_mels,
+            bytes_accessed=4 * (B * n_tiles * chunk + B * n_tiles * frame_tile * cfg.n_mels),
             transcendentals=0,
         ),
         interpret=interpret,
