@@ -41,30 +41,18 @@ VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing")
 
 
 def _make_injected_tx(gradient_clip_val: float | None):
-    def factory(learning_rate, weight_decay):
-        parts = []
-        if gradient_clip_val:
-            parts.append(optax.clip_by_global_norm(float(gradient_clip_val)))
-        parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_adam())
-        parts.append(optax.scale(-1.0))
-        parts.append(optax.scale_by_learning_rate(1.0))  # placeholder; lr below
-        return optax.chain(*parts)
-
-    # simpler: fold lr via scale; use inject to carry both hyperparams
-    def factory2(learning_rate, weight_decay):
-        parts = []
-        if gradient_clip_val:
-            parts.append(optax.clip_by_global_norm(float(gradient_clip_val)))
-        parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_adam())
-        parts.append(optax.scale(-1.0))
-        return optax.chain(*parts)
-
-    del factory
+    """Adam whose lr / weight decay live in the optimizer *state*
+    (inject_hyperparams), so one GradientTransformation serves K vmapped
+    trials with per-slot values."""
 
     def wrapped(learning_rate, weight_decay):
-        inner = factory2(learning_rate, weight_decay)
+        parts = []
+        if gradient_clip_val:
+            parts.append(optax.clip_by_global_norm(float(gradient_clip_val)))
+        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam())
+        parts.append(optax.scale(-1.0))
+        inner = optax.chain(*parts)
 
         def update(grads, state, params=None):
             updates, new_state = inner.update(grads, state, params)
