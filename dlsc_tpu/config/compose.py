@@ -17,21 +17,43 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Sequence
 
+import re
+
 import yaml
 
 from dlsc_tpu.config.core import Config, merge
 
 
+class _Loader(yaml.SafeLoader):
+    """SafeLoader with YAML 1.2 float semantics: pyyaml's 1.1 resolver
+    treats ``5e-4`` (no dot) as a string; OmegaConf — and every config in
+    this tree — expects a float."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def load_yaml(path: str | Path) -> dict:
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_Loader)
     return data or {}
 
 
 def _parse_value(raw: str) -> Any:
     """Parse an override value with YAML typing (true/null/1e-4/[a,b]/...)."""
     try:
-        return yaml.safe_load(raw)
+        return yaml.load(raw, Loader=_Loader)
     except yaml.YAMLError:
         return raw
 
@@ -95,29 +117,28 @@ def _load_with_defaults(
             self_done = True
             continue
         if isinstance(entry, str):
-            # plain sibling file (e.g. "base_training")
-            sub = _load_with_defaults(
-                config_dir, str((parent_dir / entry).relative_to(config_dir)),
-                group_overrides, _depth + 1,
-            )
+            # plain file: sibling ("base_training") or root-absolute ("/base")
+            base = config_dir if entry.startswith("/") else parent_dir
+            rel = (base / entry.lstrip("/")).relative_to(config_dir)
+            sub = _load_with_defaults(config_dir, str(rel), group_overrides,
+                                      _depth + 1)
             merged = merge(merged, sub)
             continue
         if isinstance(entry, dict):
             (key, option), = entry.items()
-            if key.startswith("override hydra/") or key.startswith("hydra/"):
+            if "hydra/" in key:
                 continue  # no hydra runtime to configure
             if key.startswith("override "):
                 key = key[len("override "):]
-            group = key
+            absolute = key.startswith("/")
+            group = key.lstrip("/")
             option = group_overrides.get(group, option)
             if option is None:
                 continue
-            sub = _load_with_defaults(
-                config_dir,
-                str((parent_dir / group / str(option)).relative_to(config_dir)),
-                group_overrides,
-                _depth + 1,
-            )
+            base = config_dir if absolute else parent_dir
+            rel = (base / group / str(option)).relative_to(config_dir)
+            sub = _load_with_defaults(config_dir, str(rel), group_overrides,
+                                      _depth + 1)
             merged = merge(merged, Config({group: sub.to_dict(resolve=False)}))
             continue
         raise ValueError(f"Unsupported defaults entry: {entry!r}")
@@ -139,18 +160,21 @@ def _discover_groups(config_dir: Path, config_name: str) -> set[str]:
         defaults = load_yaml(path).get("defaults") or []
         for entry in defaults:
             if isinstance(entry, str) and entry != "_self_":
-                walk(str((path.parent / entry).relative_to(config_dir)), depth + 1)
+                base = config_dir if entry.startswith("/") else path.parent
+                walk(str((base / entry.lstrip("/")).relative_to(config_dir)),
+                     depth + 1)
             elif isinstance(entry, dict):
                 (key, option), = entry.items()
                 if "hydra/" in key:
                     continue
                 key = key.removeprefix("override ")
+                absolute = key.startswith("/")
+                key = key.lstrip("/")
                 groups.add(key)
                 if option is not None:
-                    walk(
-                        str((path.parent / key / str(option)).relative_to(config_dir)),
-                        depth + 1,
-                    )
+                    base = config_dir if absolute else path.parent
+                    walk(str((base / key / str(option)).relative_to(config_dir)),
+                         depth + 1)
 
     walk(config_name)
     return groups

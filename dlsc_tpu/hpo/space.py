@@ -63,9 +63,9 @@ class HyperparameterSpace:
 
         def load(p: Path):
             if p.exists():
-                with open(p) as f:
-                    data = yaml.safe_load(f) or {}
-                _deep_merge(tree, data)
+                from dlsc_tpu.config.compose import load_yaml
+
+                _deep_merge(tree, load_yaml(p))
 
         load(spaces_dir / "training.yaml")
         load(spaces_dir / "loss.yaml")

@@ -10,6 +10,24 @@ from dlsc_tpu.ops.mel import (
     power_spectrogram,
     ast_normalize,
 )
+from dlsc_tpu.ops.augment import (
+    bc_mix,
+    center_crop,
+    gain_shift,
+    image_flip_translate,
+    mixup,
+    multi_crop,
+    one_hot,
+    pad_or_trim,
+    random_crop,
+    spec_augment,
+    time_stretch,
+)
+from dlsc_tpu.ops.mel_pallas import (
+    ast_features_pallas,
+    log_mel_pallas,
+    mel_power_pallas,
+)
 
 __all__ = [
     "MelConfig",
@@ -20,4 +38,18 @@ __all__ = [
     "mfcc",
     "power_spectrogram",
     "ast_normalize",
+    "bc_mix",
+    "center_crop",
+    "gain_shift",
+    "image_flip_translate",
+    "mixup",
+    "multi_crop",
+    "one_hot",
+    "pad_or_trim",
+    "random_crop",
+    "spec_augment",
+    "time_stretch",
+    "ast_features_pallas",
+    "log_mel_pallas",
+    "mel_power_pallas",
 ]

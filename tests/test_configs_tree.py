@@ -58,3 +58,14 @@ def test_urbansound8k_dataset_config():
     cfg = compose(CONFIG_DIR, "training", ["dataset=urbansound8k", "model=envnet_v2"])
     assert cfg.dataset.num_classes == 10
     assert cfg.model.num_classes == 10
+
+
+def test_experiment_config_with_absolute_defaults():
+    cfg = compose(CONFIG_DIR, "experiment/ast_bf16_fast", [])
+    assert cfg.trainer.precision == "bf16-mixed"
+    assert cfg.optimizer.lr == 5e-4
+    assert cfg.model.patch_stride == 10          # from /model: ast
+    assert cfg.dataset.num_classes == 50
+    # group overrides still work through the experiment config
+    cfg2 = compose(CONFIG_DIR, "experiment/ast_bf16_fast", ["model=ast_mini"])
+    assert "ast_mini" in cfg2.model["_target_"]
