@@ -72,6 +72,7 @@ def main() -> None:
         return step, state, ms, wave, labels
 
     batch = 64
+    attempts_left = 2  # the remote compile helper occasionally 500s
     while batch >= 4:
         try:
             step, state, ms, wave, labels = build(batch)
@@ -87,9 +88,17 @@ def main() -> None:
             jax.device_get(loss)
             dt = time.time() - t0
             break
-        except Exception as e:  # OOM backoff
-            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+        except Exception as e:  # OOM backoff / flaky compile-helper retry
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
                 batch //= 2
+                continue
+            if "remote_compile" in msg or "INTERNAL" in msg:
+                if attempts_left > 0:
+                    attempts_left -= 1
+                    continue
+                batch //= 2
+                attempts_left = 2
                 continue
             raise
     else:
