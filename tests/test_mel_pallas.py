@@ -47,3 +47,14 @@ def test_log_and_ast_paths():
     ast_ref = M.ast_normalize(db_ref)
     ast_got = ast_features_pallas(jnp.asarray(w), cfg, interpret=True)
     assert np.max(np.abs(np.asarray(ast_got) - np.asarray(ast_ref))) < 1e-3
+
+
+def test_cnn_mel_config_hop512():
+    """hop=512 divides the lane width → single-phase framing path."""
+    cfg = M.MelConfig(n_fft=1024, hop_length=512, win_length=1024, n_mels=128)
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((2, 44100)) * 0.3).astype(np.float32)
+    ref = M.mel_spectrogram(jnp.asarray(w), cfg)
+    got = mel_power_pallas(jnp.asarray(w), cfg, interpret=True)
+    assert got.shape == ref.shape
+    assert norm_err(got, ref) < 1e-4
