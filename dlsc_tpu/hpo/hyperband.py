@@ -52,7 +52,7 @@ class SuccessiveHalvingPruner:
             if not others:
                 continue
             others.sort(reverse=True)
-            n_keep = max(1, math.ceil(len(others) + 1) // self.rf)
+            n_keep = max(1, math.ceil((len(others) + 1) / self.rf))
             # survive iff within the top 1/rf of {others + me}
             threshold = others[n_keep - 1] if n_keep <= len(others) else -math.inf
             if sign * my < threshold:

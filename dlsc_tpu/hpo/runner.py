@@ -87,11 +87,11 @@ class HPORunner:
         built = build_from_cfg(cfg)
         trainer_cfg = cfg.trainer.to_dict()
         trainer_cfg.update(self.trainer_overrides)
-        trainer = Trainer(
-            **trainer_cfg,
-            enable_checkpointing=False,   # disabled during HPO (ref :284)
-            seed=int(cfg.select("seed", default=42)),
-        )
+        # folded into the dict so a user-provided trainer.enable_checkpointing
+        # doesn't collide with an explicit kwarg
+        trainer_cfg["enable_checkpointing"] = False  # disabled during HPO (ref :284)
+        trainer_cfg["seed"] = int(cfg.select("seed", default=42))
+        trainer = Trainer(**trainer_cfg)
         return datamodule, built, trainer
 
     def _objective(self, trial: Trial) -> float:

@@ -81,7 +81,10 @@ def _flash_mha(q, k, v, *, sm_scale: float):
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
     seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)[None, :]  # 0 real, 1 pad
     seg = jnp.broadcast_to(seg, (B, n_pad))
-    b = min(1024, n_pad)
+    # block size must divide n_pad (kernel asserts seq_len % block == 0):
+    # n_pad is a multiple of 512 (or 128 for short seqs), so prefer 1024
+    # only when it divides evenly.
+    b = next(cand for cand in (1024, 512, 256, 128) if n_pad % cand == 0)
     bs = BlockSizes(
         block_q=b, block_k_major=b, block_k=b, block_b=1,
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b, block_q_dkv=b,
@@ -189,6 +192,16 @@ class ASTViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # The pos-embed grid is derived from (patch_size - overlap) while the
+        # conv uses patch_stride; the reference keeps them equal in every
+        # config (ast.yaml stride 10 / overlap 6; ast_small.yaml 16 / 0) and
+        # silently misassigns positions otherwise — fail loudly instead.
+        if self.patch_stride != self.patch_size - self.overlap:
+            raise ValueError(
+                f"patch_stride ({self.patch_stride}) must equal patch_size - "
+                f"overlap ({self.patch_size - self.overlap}); the positional-"
+                "embedding grid assumes it"
+            )
         # (B, F, T) or (B, 1, F, T) → NHWC (B, F, T, 1)
         if x.ndim == 4:
             x = x[:, 0]

@@ -62,6 +62,10 @@ class KLDivLoss:
             if mask is not None:
                 return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1)
             return jnp.mean(per)
+        if self.reduction == "mean":
+            # torch KLDivLoss 'mean' divides by element count (B*C)
+            C = targets.shape[-1]
+            return _reduce(per, mask, "mean") / C
         return _reduce(per, mask, self.reduction)
 
 

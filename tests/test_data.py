@@ -151,3 +151,17 @@ def test_pipeline_from_dataset_config_matches_reference_yaml():
     assert pipe.cfg.window_samples == 220500
     assert pipe.cfg.padding_samples == 110250
     assert pipe.cfg.enable_bc_mixing and pipe.cfg.time_stretch is None
+
+
+def test_train_partial_batch_pads_with_real_samples(dataset_root):
+    dm = ESC50DataModule(
+        root=str(dataset_root), num_classes=10, fold=0, val_split=0.2,
+        batch_size=24, preprocessing_mode="envnet_v2", is_spectrogram=False,
+        drop_last_train=False,
+    )
+    batches = list(dm.train_batches(epoch=0))
+    last = batches[-1]
+    assert last.wave.shape[0] == 24
+    # no silent zero rows in train batches
+    assert (np.abs(last.wave).max(axis=1) > 0).all()
+    assert last.mask.all()

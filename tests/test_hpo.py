@@ -190,3 +190,24 @@ def test_space_from_model_config(tmp_path):
     space = HyperparameterSpace.from_model_config(cfg, d)
     assert set(space.names()) == {"optimizer.lr", "loss.label_smoothing",
                                   "model.n_filters"}
+
+
+def test_hyperband_keep_fraction_uses_ceil(tmp_path):
+    """4 trials at a rung with rf=3 must keep ceil(4/3)=2, not floor."""
+    from dlsc_tpu.hpo.hyperband import SuccessiveHalvingPruner
+
+    study = Study("ceilcheck", tmp_path / "c.db", "maximize",
+                  pruner=SuccessiveHalvingPruner(min_resource=1, reduction_factor=3))
+    # three completed trials with reports at step 1
+    for q in (0.9, 0.5, 0.1):
+        t = study.ask()
+        t.report(q, 1)
+        study.tell(t, q, TrialState.COMPLETE)
+    # 4th trial ranked 2nd overall at the rung → must survive
+    t = study.ask()
+    t.report(0.7, 1)
+    assert not study.pruner.prune(study, t)
+    # 5th-style value ranked last → pruned
+    t2 = study.ask()
+    t2.report(0.05, 1)
+    assert study.pruner.prune(study, t2)

@@ -34,3 +34,25 @@ def test_prefetch_overlaps_transfer():
         time.sleep(0.02)  # consumer work
     serial_estimate = 10 * 0.04
     assert time.time() - t0 < serial_estimate * 0.85  # overlap achieved
+
+
+def test_prefetch_early_break_stops_worker():
+    import threading
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(gen(), lambda x: x, size=2)
+    for i, v in enumerate(it):
+        if i >= 3:
+            break
+    it.close()
+    time.sleep(0.3)
+    assert threading.active_count() <= before + 1
+    # worker stopped early (did not drain the whole source)
+    assert len(produced) < 50
