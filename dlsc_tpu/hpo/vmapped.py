@@ -17,10 +17,18 @@ Mechanics:
 - per-trial parameter inits and RNG streams (different seeds),
 - the data stream is shared across trials (lockstep epochs),
 - per-epoch validation accuracies are reported to the Study so TPE/Hyperband
-  see the same evidence as sequential trials. Pruned trials keep computing
-  (lockstep constraint — their slots are marked and excluded from results);
-  Hyperband's wall-clock savings need rung-boundary re-batching, which is
-  left for a later round and documented here.
+  see the same evidence as sequential trials.
+
+Two execution modes:
+
+- ``run_batch(k)``: one fixed batch of K trials for ``epochs`` epochs.
+  Pruned trials keep computing (their slots are marked).
+- ``run_continuous(k, total_trials)``: **slot recycling** — when a trial is
+  pruned or finishes its epoch budget, its slot is immediately re-initialized
+  with a fresh TPE suggestion (per-slot scatter into the stacked state; no
+  recompilation since K stays constant). This realizes Hyperband's
+  resource-efficiency in lockstep form: pruned trials stop consuming compute
+  because their slot is handed to a new candidate.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ import numpy as np
 import optax
 
 from dlsc_tpu.hpo.study import Study, Trial, TrialState
-from dlsc_tpu.train.metrics import MetricState, accuracy, mean_loss
+from dlsc_tpu.train.metrics import MetricState, accuracy
 from dlsc_tpu.train.state import TrainState
 
 VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing")
@@ -128,20 +136,17 @@ class VmappedTrialRunner:
             trials.append(t)
         return trials, np.asarray(lrs), np.asarray(wds), np.asarray(lss)
 
-    # -- lockstep training ------------------------------------------------------
-    def run_batch(self, k: int = 8) -> VmappedResult:
+    # -- shared execution machinery ---------------------------------------------
+    def _build_exec(self):
+        """Compile the vmapped init/train/eval functions (K-agnostic)."""
         from dlsc_tpu.train.losses import CrossEntropyLoss
 
         dm = self.datamodule
         dm.setup()
         pipe = self.pipeline
-        num_classes = dm.num_classes
-        trials, lrs, wds, lss = self._ask_batch(k)
-
         tx = _make_injected_tx(self.gradient_clip_val)(
             learning_rate=1e-3, weight_decay=0.0
         )
-
         sample = next(iter(dm.train_batches(epoch=0)))
         wave0 = jnp.asarray(sample["wave"][:2])
         lab0 = jnp.asarray(sample["label"][:2])
@@ -167,13 +172,6 @@ class VmappedTrialRunner:
                 tx=tx,
             )
 
-        keys = jax.random.split(jax.random.key(self.seed), k)
-        states = jax.jit(jax.vmap(init_one))(
-            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32)
-        )
-
-        ls_arr = jnp.asarray(lss, jnp.float32)
-
         def train_step_one(state, ms, ls, wave, labels):
             from dlsc_tpu.train.steps import make_train_step
 
@@ -193,12 +191,36 @@ class VmappedTrialRunner:
                 state, ms, wave, labels, mask
             )
 
-        v_train = jax.jit(jax.vmap(train_step_one, in_axes=(0, 0, 0, None, None)),
-                          donate_argnums=(0, 1))
-        v_eval = jax.jit(jax.vmap(eval_step_one, in_axes=(0, 0, None, None, None)),
-                         donate_argnums=(1,))
-        v_acc = jax.jit(jax.vmap(accuracy))
-        v_loss = jax.jit(jax.vmap(mean_loss))
+        return {
+            "init_one": jax.jit(init_one),
+            "init_v": jax.jit(jax.vmap(init_one)),
+            "train": jax.jit(jax.vmap(train_step_one, in_axes=(0, 0, 0, None, None)),
+                             donate_argnums=(0, 1)),
+            "eval": jax.jit(jax.vmap(eval_step_one, in_axes=(0, 0, None, None, None)),
+                            donate_argnums=(1,)),
+            "acc": jax.jit(jax.vmap(accuracy)),
+        }
+
+    @staticmethod
+    def _scatter_slot(states, new_state, i: int):
+        """Write a freshly initialized trial into slot i of the stacked state."""
+        return jax.tree_util.tree_map(
+            lambda s, n: s.at[i].set(n), states, new_state
+        )
+
+    # -- lockstep training ------------------------------------------------------
+    def run_batch(self, k: int = 8) -> VmappedResult:
+        dm = self.datamodule
+        num_classes = dm.num_classes
+        fns = self._build_exec()
+        trials, lrs, wds, lss = self._ask_batch(k)
+
+        keys = jax.random.split(jax.random.key(self.seed), k)
+        states = fns["init_v"](
+            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32)
+        )
+        ls_arr = jnp.asarray(lss, jnp.float32)
+        v_train, v_eval, v_acc = fns["train"], fns["eval"], fns["acc"]
 
         pruned = [False] * k
         history = []
@@ -240,3 +262,76 @@ class VmappedTrialRunner:
             trial_numbers=[t.number for t in trials],
             values=values, states=states, history=history,
         )
+
+    # -- slot recycling ------------------------------------------------------------
+    def run_continuous(self, k: int = 8, total_trials: int = 16) -> list[Trial]:
+        """Process ``total_trials`` trials through K always-busy slots.
+
+        A slot's trial trains until it is pruned (Hyperband) or reaches the
+        ``epochs`` budget; the slot is then immediately re-initialized with a
+        fresh suggestion. K stays constant so nothing recompiles.
+        """
+        dm = self.datamodule
+        num_classes = dm.num_classes
+        fns = self._build_exec()
+        trials, lrs, wds, lss = self._ask_batch(k)
+        asked = k
+
+        keys = jax.random.split(jax.random.key(self.seed), k)
+        states = fns["init_v"](
+            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32)
+        )
+        ls_arr = jnp.asarray(lss, jnp.float32)
+        slot_epoch = [0] * k
+        active = [True] * k
+        finished: list[Trial] = []
+        global_epoch = 0
+
+        while any(active):
+            ms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
+            for batch in dm.train_batches(epoch=global_epoch, seed=self.seed):
+                states, ms, _ = fns["train"](
+                    states, ms, ls_arr,
+                    jnp.asarray(batch["wave"]), jnp.asarray(batch["label"]),
+                )
+            vms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
+            for batch in dm.val_batches():
+                vms, _ = fns["eval"](
+                    states, vms, jnp.asarray(batch["wave"]),
+                    jnp.asarray(batch["label"]), jnp.asarray(batch["mask"]),
+                )
+            val_accs = np.asarray(fns["acc"](vms))
+            global_epoch += 1
+
+            for i in range(k):
+                if not active[i]:
+                    continue
+                t = trials[i]
+                t.report(float(val_accs[i]), slot_epoch[i])
+                done = slot_epoch[i] + 1 >= self.epochs
+                pruned = slot_epoch[i] >= self.min_epochs and t.should_prune()
+                if not (done or pruned):
+                    slot_epoch[i] += 1
+                    continue
+                self.study.tell(
+                    t,
+                    float(val_accs[i]),
+                    TrialState.PRUNED if pruned and not done else TrialState.COMPLETE,
+                )
+                finished.append(t)
+                if asked < total_trials:
+                    # recycle the slot with a fresh suggestion
+                    new_trials, nlr, nwd, nls = self._ask_batch(1)
+                    trials[i] = new_trials[0]
+                    asked += 1
+                    new_state = fns["init_one"](
+                        jax.random.fold_in(jax.random.key(self.seed), 1000 + asked),
+                        jnp.asarray(nlr[0], jnp.float32),
+                        jnp.asarray(nwd[0], jnp.float32),
+                    )
+                    states = self._scatter_slot(states, new_state, i)
+                    ls_arr = ls_arr.at[i].set(float(nls[0]))
+                    slot_epoch[i] = 0
+                else:
+                    active[i] = False
+        return finished

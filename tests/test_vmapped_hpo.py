@@ -97,3 +97,22 @@ def test_vmapped_with_hyperband_pruning(dm, tmp_path):
     runner.run_batch(k=4)
     states = {t.state for t in study.trials}
     assert states <= {TrialState.COMPLETE, TrialState.PRUNED}
+
+
+def test_run_continuous_slot_recycling(dm, tmp_path):
+    """8 trials through 4 always-busy slots: every trial terminal, recycled
+    slots get fresh hyperparameters, study sees per-epoch reports."""
+    study = Study("vmap_cont", tmp_path / "vc.db", "maximize",
+                  sampler=TPESampler(seed=2),
+                  pruner=HyperbandPruner(min_resource=1, max_resource=2,
+                                         reduction_factor=2))
+    runner = VmappedTrialRunner(study, VTiny(), dm.pipeline, dm, epochs=2,
+                                seed=2)
+    finished = runner.run_continuous(k=4, total_trials=8)
+    assert len(finished) == 8
+    assert len(study.trials) == 8
+    for t in study.trials:
+        assert t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+        assert t.intermediate_values
+    lrs = {round(t.params["optimizer.lr"], 10) for t in study.trials}
+    assert len(lrs) == 8  # recycled slots received fresh suggestions
