@@ -34,7 +34,7 @@ Two execution modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,6 @@ class VmappedTrialRunner:
         datamodule,
         *,
         epochs: int = 10,
-        criterion_factory: Callable[[float], Any] | None = None,
         lr_space: dict | None = None,
         wd_space: dict | None = None,
         ls_space: dict | None = None,
@@ -97,16 +96,11 @@ class VmappedTrialRunner:
         min_epochs: int = 0,
         seed: int = 0,
     ):
-        from dlsc_tpu.train.losses import CrossEntropyLoss
-
         self.study = study
         self.model = model
         self.pipeline = pipeline
         self.datamodule = datamodule
         self.epochs = epochs
-        self.criterion_factory = criterion_factory or (
-            lambda ls: CrossEntropyLoss(label_smoothing=float(ls))
-        )
         self.lr_space = lr_space or {"type": "float", "low": 1e-5, "high": 1e-2,
                                      "log": True}
         self.wd_space = wd_space or {"type": "float", "low": 1e-6, "high": 1e-2,
