@@ -78,10 +78,17 @@ def run_vmapped(cfg):
         min_epochs=int(optuna_cfg.get("min_epochs", 0)),
         seed=int(cfg.select("seed", default=42)),
     )
-    for r in range(rounds):
-        result = runner.run_batch(k=k)
-        print(f"[vmapped round {r}] trials {result.trial_numbers} "
-              f"values {['%.4f' % v for v in result.values]}")
+    if vm.get("continuous", True):
+        # slot recycling: pruned/finished slots refill with fresh suggestions
+        total = int(optuna_cfg.get("n_trials", k * rounds))
+        finished = runner.run_continuous(k=k, total_trials=total)
+        print(f"[vmapped continuous] processed {len(finished)} trials "
+              f"through {k} slots")
+    else:
+        for r in range(rounds):
+            result = runner.run_batch(k=k)
+            print(f"[vmapped round {r}] trials {result.trial_numbers} "
+                  f"values {['%.4f' % v for v in result.values]}")
     print(study.summary())
     return study
 
