@@ -317,9 +317,8 @@ class Trainer:
             history.append({"epoch": epoch, **metrics})
             if tracker:
                 tracker.log_metrics(metrics, step=epoch)
-            if self.enable_progress_bar:
-                msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
-                print(f"[epoch {epoch}] {msg}")
+            msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+            print(f"[epoch {epoch}] {msg}", flush=True)
 
             if self.ckpt_manager and "val/acc" in metrics:
                 self.ckpt_manager.save(state, epoch, metrics)
