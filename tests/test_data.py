@@ -165,3 +165,26 @@ def test_train_partial_batch_pads_with_real_samples(dataset_root):
     # no silent zero rows in train batches
     assert (np.abs(last.wave).max(axis=1) > 0).all()
     assert last.mask.all()
+
+
+def test_int16_shards_roundtrip(tmp_path):
+    """Default int16 shard format: half the bytes, ~-90 dB quantization."""
+    from dlsc_tpu.data.prepare import write_fold_shards
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal(4000) * 0.3, -1, 1).astype(np.float32)
+    write_fold_shards(tmp_path, {0: [(x, 1, "a.wav", 4000)],
+                                 1: [(x, 2, "b.wav", 4000)]})
+    waves = np.load(tmp_path / "fold_0" / "waves.npy", mmap_mode="r")
+    assert waves.dtype == np.int16
+
+    dm = ESC50DataModule(
+        root=str(tmp_path), num_classes=3, fold=1, val_split=0.0,
+        batch_size=1, preprocessing_mode="raw", is_spectrogram=False,
+    )
+    dm.n_folds = 2
+    batch = next(iter(dm.train_batches()))
+    assert batch.wave.dtype == np.int16  # int16 stays on the wire
+    pipe = dm.pipeline
+    out, _ = pipe.eval_batch(jnp.asarray(batch.wave), jnp.asarray(batch.label))
+    np.testing.assert_allclose(np.asarray(out[0]), x, atol=1e-4)  # ~-86 dB quantization

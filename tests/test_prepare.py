@@ -41,7 +41,8 @@ def test_prepare_esc50(esc50_raw, tmp_path):
     assert set(stats["folds"]) == {"0", "1", "2"}  # CSV 1-based → 0-based
     waves = np.load(out / "fold_0" / "waves.npy")
     assert waves.shape == (2, ESC50_SAMPLES)      # resampled 22050→44100, padded to 5 s
-    assert np.abs(waves).max() <= 1.0 + 1e-5       # peak-normalized
+    assert waves.dtype == np.int16                 # PCM16 shard format
+    assert np.abs(waves).max() == 32767            # peak-normalized to full scale
     assert len(stats["sha256"]) == 6
     js = json.loads((out / "dataset_stats.json").read_text())
     assert js["sample_rate"] == 44100
