@@ -74,10 +74,15 @@ class HyperparameterSpace:
             target = cfg.select("model._target_", default="") or ""
         except Exception:
             pass
-        # "...models.<module>.<Cls>" → module name (reference :360-384)
+        # "...models.<module>.<Cls>" → module name (reference :360-384);
+        # fallback: the module right before the class name
         parts = target.split(".")
-        if "models" in parts:
+        name = ""
+        if "models" in parts and parts.index("models") + 1 < len(parts):
             name = parts[parts.index("models") + 1]
+        elif len(parts) >= 2:
+            name = parts[-2]
+        if name:
             load(spaces_dir / "models" / f"{name}.yaml")
         return cls.from_nested(tree)
 

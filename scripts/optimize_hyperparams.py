@@ -30,10 +30,11 @@ SPACES_DIR = CONFIG_DIR / "optimization" / "hyperparameter_spaces"
 
 
 def build_runner(cfg, trainer_overrides: dict | None = None) -> HPORunner:
-    space = HyperparameterSpace.from_model_config(cfg, SPACES_DIR)
+    spaces_dir = Path(cfg.select("optuna.spaces_dir", default=SPACES_DIR))
+    space = HyperparameterSpace.from_model_config(cfg, spaces_dir)
     if not len(space):
         raise SystemExit("empty search space — add YAMLs under "
-                         f"{SPACES_DIR} for this model")
+                         f"{spaces_dir} for this model")
     optuna_cfg = cfg.optuna.to_dict()
     manager = StudyManager.from_config(optuna_cfg)
     study = manager.create_study(load_if_exists=True)
