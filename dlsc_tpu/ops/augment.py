@@ -8,9 +8,12 @@ whole pipeline runs inside the jitted train step on device.
 
 Documented deviations from the reference (behavioral, not numerical):
 
-- Mixup / BC partners are drawn from the current batch (a random derangement
-  shift) rather than the whole dataset — the standard device-side idiom;
-  statistically equivalent for shuffled loaders.
+- Mixup / BC partners are drawn from the current batch rather than the whole
+  dataset — the standard device-side idiom; statistically equivalent for
+  shuffled loaders. Each sample draws an *independent* partner uniform over
+  the other B-1 batch elements (per-sample offset, never self), mirroring the
+  reference's independent per-sample draw (esc50.py:64-76,
+  preprocessing.py:584-592).
 - Reference Mixup writes ``soft[l1]=λ; soft[l2]=1-λ``, which produces a
   non-normalized label when the two samples share a class (esc50.py:69-72 can
   sample same-class partners). We use the convex combination
@@ -202,6 +205,17 @@ def image_flip_translate(
     return jax.vmap(one)(img, hflip, vflip, dx, dy)
 
 
+def _random_partners(key: jax.Array, batch: int) -> jax.Array:
+    """Per-sample random partner indices, uniform over the other batch
+    elements (never self): partner[i] = (i + offset_i) mod B with
+    offset_i ~ U{1..B-1}. Mirrors the reference's independent per-sample
+    partner draw (esc50.py:64-76, preprocessing.py:584-592)."""
+    if batch <= 1:
+        return jnp.zeros((batch,), jnp.int32)
+    offsets = jax.random.randint(key, (batch,), 1, batch)
+    return (jnp.arange(batch) + offsets) % batch
+
+
 # --------------------------------------------------------------------------- #
 # Mixup (reference: preprocessing.py:928-968, esc50.py:43-76)
 # --------------------------------------------------------------------------- #
@@ -226,9 +240,7 @@ def mixup(
         if alpha > 0
         else jnp.ones((B,))
     )
-    # random partner: shift by a random offset 1..B-1 (never self)
-    shift = jax.random.randint(k_perm, (), 1, B) if B > 1 else 0
-    partner = jnp.roll(jnp.arange(B), shift)
+    partner = _random_partners(k_perm, B)
     lam_eff = jnp.where(gate, lam, 1.0)
     lshape = (B,) + (1,) * (spec.ndim - 1)
     mixed = lam_eff.reshape(lshape) * spec + (1 - lam_eff).reshape(lshape) * spec[partner]
@@ -273,8 +285,7 @@ def bc_mix(
     del num_classes
     B = wave.shape[0]
     k_r, k_perm = jax.random.split(key)
-    shift = jax.random.randint(k_perm, (), 1, B) if B > 1 else 0
-    partner = jnp.roll(jnp.arange(B), shift)
+    partner = _random_partners(k_perm, B)
     r = jax.random.uniform(k_r, (B,))
 
     same_class = jnp.argmax(labels, -1) == jnp.argmax(labels[partner], -1)
