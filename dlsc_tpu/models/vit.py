@@ -118,15 +118,16 @@ class Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
-    dropout: float = 0.0
+    dropout: float = 0.0        # MLP dropout
+    attn_dropout: float = 0.0   # attention-weight dropout (0 keeps flash path)
     dtype: Any = jnp.float32
     use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.dropout, self.dtype,
-                          self.use_flash, name="attn")(y, train)
+        x = x + Attention(self.dim, self.num_heads, self.attn_dropout,
+                          self.dtype, self.use_flash, name="attn")(y, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
         return x
@@ -139,13 +140,15 @@ class _ScanBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    attn_dropout: float = 0.0
     dtype: Any = jnp.float32
     use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
-                  self.dtype, self.use_flash, name="block")(x, train)
+                  self.attn_dropout, self.dtype, self.use_flash,
+                  name="block")(x, train)
         return x, None
 
 
@@ -170,7 +173,13 @@ class ASTViT(nn.Module):
     overlap: int = 6
     sample_rate: int = 44_100
     f_dim: int = 128
-    dropout: float = 0.1
+    dropout: float = 0.1       # MLP dropout
+    attn_dropout: float = 0.0  # attention-weight dropout. Deviation from the
+                               # reference (ast_small.py:22 passes dropout to
+                               # nn.MultiheadAttention): kept at 0 so training
+                               # takes the flash-attention path at ~1650-token
+                               # sequences; MLP dropout provides the
+                               # regularization (common ViT practice).
     dtype: Any = jnp.float32
     sigmoid_head: bool = True
     remat: bool = False        # rematerialize encoder blocks (memory ↔ FLOPs)
@@ -238,14 +247,16 @@ class ASTViT(nn.Module):
                 in_axes=nn.broadcast,  # `train` is loop-invariant
                 metadata_params={nn.PARTITION_NAME: None},
             )(self.emb_dim, self.num_heads, dropout=self.dropout,
-              dtype=self.dtype, use_flash=self.use_flash, name="blocks")
+              attn_dropout=self.attn_dropout, dtype=self.dtype,
+              use_flash=self.use_flash, name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
             for i in range(self.depth):
                 x = block_cls(
                     self.emb_dim, self.num_heads, dropout=self.dropout,
-                    dtype=self.dtype, use_flash=self.use_flash, name=f"blocks_{i}",
+                    attn_dropout=self.attn_dropout, dtype=self.dtype,
+                    use_flash=self.use_flash, name=f"blocks_{i}",
                 )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(

