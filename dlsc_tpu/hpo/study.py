@@ -137,28 +137,39 @@ class Study:
         self.pruner = pruner or NopPruner()
         self.db_path = _parse_storage(storage)
         self.db_path.parent.mkdir(parents=True, exist_ok=True)
-        self._conn = sqlite3.connect(self.db_path)
+        # Concurrent-writer hardening: WAL + busy timeout + autocommit with
+        # explicit BEGIN IMMEDIATE transactions where atomicity matters
+        # (reference resume pattern runs multiple processes against one db,
+        # study_manager.py:84-92).
+        self._conn = sqlite3.connect(self.db_path, timeout=30.0,
+                                     isolation_level=None)
+        self._conn.execute("PRAGMA journal_mode=WAL")
+        self._conn.execute("PRAGMA busy_timeout=30000")
         self._conn.executescript(_SCHEMA)
-        cur = self._conn.execute(
-            "SELECT study_id, direction FROM studies WHERE study_name=?", (study_name,)
+        row = self._conn.execute(
+            "SELECT study_id FROM studies WHERE study_name=?", (study_name,)
+        ).fetchone()
+        if row and not load_if_exists:
+            raise ValueError(f"study {study_name!r} already exists")
+        # race-safe create-or-resume: two processes may both reach here
+        self._conn.execute(
+            "INSERT OR IGNORE INTO studies (study_name, direction, created)"
+            " VALUES (?,?,?)",
+            (study_name, direction, time.time()),
         )
-        row = cur.fetchone()
-        if row:
-            if not load_if_exists:
-                raise ValueError(f"study {study_name!r} already exists")
-            self._id, self.direction = row[0], row[1]
-        else:
-            cur = self._conn.execute(
-                "INSERT INTO studies (study_name, direction, created) VALUES (?,?,?)",
-                (study_name, direction, time.time()),
-            )
-            self._conn.commit()
-            self._id = cur.lastrowid
+        self._id, self.direction = self._conn.execute(
+            "SELECT study_id, direction FROM studies WHERE study_name=?",
+            (study_name,),
+        ).fetchone()
         self._trials: dict[int, Trial] = {}
+        self._owned: set[int] = set()  # trial numbers allocated by this process
         self._load_trials()
 
     # -- storage --------------------------------------------------------------
     def _load_trials(self) -> None:
+        """Refresh trials from the db. Trials owned by this process keep
+        their in-memory objects (authoritative here); everything else —
+        including other processes' trials — is (re)loaded."""
         for (number, state, value, params, dists, inter, attrs, t0, t1) in (
             self._conn.execute(
                 "SELECT number, state, value, params, distributions, intermediate,"
@@ -166,6 +177,8 @@ class Study:
                 " WHERE study_id=? ORDER BY number", (self._id,),
             )
         ):
+            if number in self._owned:
+                continue
             t = Trial(
                 number=number, study=self, state=state, value=value,
                 params=json.loads(params), distributions=json.loads(dists),
@@ -196,11 +209,39 @@ class Study:
 
     # -- trial lifecycle --------------------------------------------------------
     def ask(self) -> Trial:
-        number = max(self._trials) + 1 if self._trials else 0
-        t = Trial(number=number, study=self)
-        self._trials[number] = t
-        self._persist_trial(t)
-        return t
+        """Allocate the next trial number atomically: BEGIN IMMEDIATE takes
+        the write lock before reading MAX(number), so concurrent askers can't
+        collide on UNIQUE(study_id, number). Also refreshes other processes'
+        trials so the sampler sees the full cross-process history."""
+        for attempt in range(20):
+            try:
+                self._conn.execute("BEGIN IMMEDIATE")
+                number = self._conn.execute(
+                    "SELECT COALESCE(MAX(number)+1, 0) FROM trials"
+                    " WHERE study_id=?", (self._id,),
+                ).fetchone()[0]
+                t = Trial(number=number, study=self)
+                self._conn.execute(
+                    "INSERT INTO trials (study_id, number, state, value, params,"
+                    " distributions, intermediate, user_attrs, datetime_start,"
+                    " datetime_complete) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    (self._id, t.number, t.state, t.value, "{}", "{}", "{}",
+                     "{}", t.datetime_start, None),
+                )
+                self._conn.execute("COMMIT")
+            except sqlite3.Error:
+                try:
+                    self._conn.execute("ROLLBACK")
+                except sqlite3.Error:
+                    pass
+                time.sleep(0.01 * (attempt + 1))
+                continue
+            self._owned.add(number)
+            self._load_trials()
+            self._trials[number] = t
+            return t
+        raise RuntimeError("ask(): could not allocate a trial number "
+                           f"(db contended: {self.db_path})")
 
     def tell(self, trial: Trial, value: float | None, state: str) -> None:
         trial.value = value if value is None else float(value)
