@@ -68,16 +68,28 @@ class _SWA:
     """Stochastic Weight Averaging (reference: src/training/callbacks.py:71-79,
     Lightning's optional SWA callback): average parameter snapshots from
     ``swa_epoch_start`` onward; at fit end the average replaces the weights
-    and BatchNorm statistics are refreshed with one training-data pass."""
+    and BatchNorm statistics are refreshed with one training-data pass.
+    ``swa_lrs`` (Lightning's SWALR phase) is honored by baking the SWA
+    annealing into the LR schedule (train/optim.py swa_lr_wrap)."""
 
     def __init__(self, swa_epoch_start: float | int = 0.8, max_epochs: int = 100,
+                 swa_lrs: float | None = None, annealing_epochs: int = 10,
                  **_):
         if isinstance(swa_epoch_start, float) and swa_epoch_start <= 1.0:
             self.start_epoch = int(swa_epoch_start * max_epochs)
         else:
             self.start_epoch = int(swa_epoch_start)
+        self.swa_lrs = None if swa_lrs is None else float(swa_lrs)
+        self.annealing_epochs = int(annealing_epochs)
         self.avg_params = None
         self.n_models = 0
+
+    @property
+    def lr_cfg(self) -> dict | None:
+        if self.swa_lrs is None:
+            return None
+        return {"swa_lr": self.swa_lrs, "start_epoch": self.start_epoch,
+                "annealing_epochs": self.annealing_epochs}
 
     def update(self, epoch: int, state) -> None:
         if epoch < self.start_epoch:
@@ -154,7 +166,8 @@ class Trainer:
         self.should_stop = False
 
     # -- state init -------------------------------------------------------------
-    def init_state(self, model, datamodule, optim_spec, sched_spec) -> TrainState:
+    def init_state(self, model, datamodule, optim_spec, sched_spec,
+                   swa_lr_cfg: dict | None = None) -> TrainState:
         pipeline = datamodule.pipeline
         sample = next(iter(datamodule.train_batches(epoch=0)))
         wave = jnp.asarray(sample["wave"][:2])
@@ -168,7 +181,7 @@ class Trainer:
         )
         tx, self._lr_fn = build_optimizer(
             optim_spec, sched_spec, max(datamodule.steps_per_epoch, 1),
-            self.gradient_clip_val,
+            self.gradient_clip_val, swa=swa_lr_cfg,
         )
         return TrainState.create(
             apply_fn=model.apply,
@@ -222,6 +235,7 @@ class Trainer:
         ckpt_path: str | None = None,
         callbacks: Sequence[Any] = (),
         swa_cfg: dict | None = None,
+        pretrained_path: str | None = None,
     ) -> TrainState:
         criterion = criterion or CrossEntropyLoss()
         datamodule.setup()
@@ -231,9 +245,16 @@ class Trainer:
         import logging
 
         log = logging.getLogger("dlsc_tpu.train")
+        swa = _SWA(**swa_cfg, max_epochs=self.max_epochs) if swa_cfg else None
         log.info("initializing state (pipeline + model init compiles)…")
-        state = self.init_state(model, datamodule, optim_spec, sched_spec)
+        state = self.init_state(model, datamodule, optim_spec, sched_spec,
+                                swa_lr_cfg=swa.lr_cfg if swa else None)
         log.info("state ready; compiling steps on first batch…")
+        if pretrained_path:
+            from dlsc_tpu.train.checkpoint import load_params
+
+            state = state.replace(params=load_params(pretrained_path, state.params))
+            print(f"Warm start: params loaded from {pretrained_path}")
         if ckpt_path:
             from dlsc_tpu.train.checkpoint import restore_state
 
@@ -249,7 +270,6 @@ class Trainer:
             if self.enable_checkpointing else None
         )
         stopper = EarlyStopping(**early_stop_cfg) if early_stop_cfg else None
-        swa = _SWA(**swa_cfg, max_epochs=self.max_epochs) if swa_cfg else None
 
         log_every = self.log_every_n_steps or max(datamodule.steps_per_epoch, 1)
         history: list[dict] = []

@@ -52,10 +52,14 @@ class MetricState:
             mask = jnp.ones_like(hard_labels, dtype=bool)
         idx = hard_labels * C + preds
         upd = jnp.zeros(C * C, jnp.int32).at[idx].add(mask.astype(jnp.int32))
+        n_valid = jnp.sum(mask.astype(jnp.int32))
+        # loss is the per-batch mean over valid samples; weight it by the
+        # valid count so mean_loss is sample-exact even with a ragged final
+        # batch (not mean-of-batch-means).
         return MetricState(
             confmat=self.confmat + upd.reshape(C, C),
-            loss_sum=self.loss_sum + loss,
-            count=self.count + jnp.sum(mask.astype(jnp.int32)),
+            loss_sum=self.loss_sum + loss * n_valid,
+            count=self.count + n_valid,
             batches=self.batches + 1,
         )
 
@@ -66,7 +70,8 @@ def accuracy(ms: MetricState) -> jax.Array:
 
 
 def mean_loss(ms: MetricState) -> jax.Array:
-    return ms.loss_sum / jnp.maximum(ms.batches, 1)
+    """Sample-weighted mean loss (exact under ragged final eval batches)."""
+    return ms.loss_sum / jnp.maximum(ms.count, 1)
 
 
 def per_class_accuracy(ms: MetricState) -> jax.Array:

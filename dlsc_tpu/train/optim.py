@@ -81,17 +81,65 @@ def lr_schedule(
     return fn
 
 
+def swa_lr_wrap(
+    base_py: Callable[[int], float],
+    base_jax,
+    *,
+    swa_lr: float,
+    start_epoch: int,
+    annealing_epochs: int,
+    steps_per_epoch: int,
+):
+    """SWA learning-rate schedule (reference: src/training/callbacks.py:71-79
+    passes ``swa_lrs`` to Lightning's StochasticWeightAveraging, which uses
+    torch SWALR): from ``start_epoch`` the LR cosine-anneals from the
+    scheduled value at SWA start down to ``swa_lr`` over ``annealing_epochs``
+    epochs, then holds ``swa_lr``."""
+    spe = max(steps_per_epoch, 1)
+    lr0 = float(base_py(start_epoch * spe))
+    ann = max(int(annealing_epochs), 1)
+
+    def py_fn(step):
+        epoch = step // spe
+        if epoch < start_epoch:
+            return base_py(step)
+        t = min(1.0, (epoch - start_epoch + 1) / ann)
+        return swa_lr + (lr0 - swa_lr) * 0.5 * (1.0 + math.cos(math.pi * t))
+
+    def jax_fn(step):
+        import jax.numpy as jnp
+
+        epoch = step // spe
+        t = jnp.minimum(1.0, (epoch - start_epoch + 1) / ann)
+        swa_val = swa_lr + (lr0 - swa_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return jnp.where(epoch < start_epoch, base_jax(step), swa_val)
+
+    return py_fn, jax_fn
+
+
 def build_optimizer(
     optim: OptimizerSpec,
     sched: SchedulerSpec | None,
     steps_per_epoch: int,
     gradient_clip_val: float | None = None,
+    swa: dict | None = None,
 ) -> tuple[optax.GradientTransformation, Callable[[int], float]]:
     """Lower specs to optax. Torch-Adam weight decay is L2 added to the
     gradient *before* the moment updates (not decoupled) — modeled with
-    add_decayed_weights ahead of scale_by_adam."""
+    add_decayed_weights ahead of scale_by_adam.
+
+    ``swa``: optional {"swa_lr", "start_epoch", "annealing_epochs"} — bakes
+    the SWA learning-rate phase into the schedule (see swa_lr_wrap)."""
     schedule = lr_schedule(optim, sched, steps_per_epoch)
     traced_schedule = schedule_jax(optim, sched, steps_per_epoch)
+    if swa and swa.get("swa_lr") is not None:
+        schedule, traced_schedule = swa_lr_wrap(
+            schedule, traced_schedule,
+            swa_lr=float(swa["swa_lr"]),
+            start_epoch=int(swa["start_epoch"]),
+            annealing_epochs=int(swa.get("annealing_epochs", 10)),
+            steps_per_epoch=steps_per_epoch,
+        )
     parts = []
     if gradient_clip_val:
         parts.append(optax.clip_by_global_norm(float(gradient_clip_val)))

@@ -100,12 +100,18 @@ def run(cfg) -> dict:
         checkpoint_dir=dirpath,
         seed=int(cfg.select("seed", default=42)),
     )
+    # optional SWA (reference: callbacks.py:71-79 gates on cfg.swa.enabled)
+    swa_cfg = None
+    if cfg.select("swa.enabled", default=False):
+        swa_cfg = {k: v for k, v in cfg.swa.to_dict().items() if k != "enabled"}
     trainer.fit(
         built["model"], datamodule, built["optim_spec"], built["sched_spec"],
         criterion=built["criterion"], tracker=tracker,
         checkpoint_cfg=ckpt_cfg,
         early_stop_cfg=cfg.select("early_stop", default=None) and cfg.early_stop.to_dict(),
         ckpt_path=cfg.select("ckpt_path", default=None),
+        swa_cfg=swa_cfg,
+        pretrained_path=cfg.select("pretrained_path", default=None),
     )
     results = trainer.test(datamodule, criterion=built["criterion"], tracker=tracker)
     tracker.finish()
