@@ -74,8 +74,19 @@ def interpolate_pos_embed(
     return np.concatenate([cls, resized], axis=1)
 
 
+# timm keys that a ViT/DeiT checkpoint carries but AST deliberately discards
+# (the classification head is re-initialized for the audio task — reference
+# replaces it at src/models/ast.py:49; distillation head likewise).
+_IGNORED_TIMM_KEYS = frozenset({
+    "head.weight", "head.bias",
+    "head_dist.weight", "head_dist.bias",
+    "pre_logits.fc.weight", "pre_logits.fc.bias",
+})
+
+
 def load_torch_vit(
-    params: Mapping, state_dict: Mapping[str, "np.ndarray"], model: ASTViT
+    params: Mapping, state_dict: Mapping[str, "np.ndarray"], model: ASTViT,
+    strict: bool = True,
 ) -> dict:
     """Map a timm ViT state dict onto ASTViT params.
 
@@ -84,10 +95,34 @@ def load_torch_vit(
     copied, pos-embed bilinearly interpolated to the audio grid, encoder
     blocks and final norm copied verbatim; the head stays as initialized.
 
+    Real-checkpoint layout handling:
+
+    - ``model.`` / ``module.`` key prefixes (DeiT release checkpoints wrap
+      the state dict; DDP training adds ``module.``) are stripped,
+    - distilled DeiT variants (``deit_*_distilled``): the distillation token
+      and its positional-embedding slot are dropped and ``head_dist.*`` is
+      ignored — only the CLS path feeds AST,
+    - with ``strict=True`` (default) any leftover key that was neither
+      consumed nor in the known-discard set raises, so silent layout
+      mismatches can't slip through.
+
     ``state_dict`` values may be torch tensors or numpy arrays.
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
+    for prefix in ("model.", "module."):
+        if sd and all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
     p = jax.tree_util.tree_map(np.asarray, dict(params))
+    consumed: set[str] = set()
+
+    def take(key: str) -> np.ndarray:
+        if key not in sd:
+            raise KeyError(
+                f"timm state dict is missing {key!r} — not a ViT/DeiT layout? "
+                f"sample keys: {sorted(sd)[:6]}"
+            )
+        consumed.add(key)
+        return sd[key]
 
     def put(path: list[str], val: np.ndarray):
         node = p
@@ -98,46 +133,67 @@ def load_torch_vit(
         node[path[-1]] = val.astype(node[path[-1]].dtype)
 
     # patch embed: (D, C, k, k) → channel-mean → (D, 1, k, k) → HWIO (k, k, 1, D)
-    w = sd["patch_embed.proj.weight"].mean(axis=1, keepdims=True)
+    w = take("patch_embed.proj.weight").mean(axis=1, keepdims=True)
     put(["patch_embed", "kernel"], w.transpose(2, 3, 1, 0))
-    put(["patch_embed", "bias"], sd["patch_embed.proj.bias"])
+    put(["patch_embed", "bias"], take("patch_embed.proj.bias"))
 
-    put(["cls_token"], sd["cls_token"])
-    old_n = sd["pos_embed"].shape[1] - 1
+    put(["cls_token"], take("cls_token"))
+    # prefix tokens ahead of the patch grid: [cls] or [cls, dist] (distilled)
+    n_prefix = 1
+    if "dist_token" in sd:
+        consumed.add("dist_token")
+        n_prefix = 2
+    pe = take("pos_embed")
+    old_n = pe.shape[1] - n_prefix
     old_side = int(round(old_n**0.5))
+    if old_side * old_side != old_n:
+        raise ValueError(
+            f"pos_embed has {old_n} patch positions after {n_prefix} prefix "
+            "token(s) — not a square grid; non-square source grids are "
+            "unsupported"
+        )
+    cls_and_patches = np.concatenate([pe[:, :1], pe[:, n_prefix:]], axis=1)
     new_pos = interpolate_pos_embed(
-        sd["pos_embed"], (old_side, old_side), model.grid_size
+        cls_and_patches, (old_side, old_side), model.grid_size
     )
     put(["pos_embed"], new_pos)
 
     def block_entries(i: int) -> dict[tuple[str, ...], np.ndarray]:
         b = f"blocks.{i}."
         return {
-            ("norm1", "scale"): sd[b + "norm1.weight"],
-            ("norm1", "bias"): sd[b + "norm1.bias"],
-            ("attn", "qkv", "kernel"): sd[b + "attn.qkv.weight"].T,
-            ("attn", "qkv", "bias"): sd[b + "attn.qkv.bias"],
-            ("attn", "proj", "kernel"): sd[b + "attn.proj.weight"].T,
-            ("attn", "proj", "bias"): sd[b + "attn.proj.bias"],
-            ("norm2", "scale"): sd[b + "norm2.weight"],
-            ("norm2", "bias"): sd[b + "norm2.bias"],
-            ("mlp", "fc1", "kernel"): sd[b + "mlp.fc1.weight"].T,
-            ("mlp", "fc1", "bias"): sd[b + "mlp.fc1.bias"],
-            ("mlp", "fc2", "kernel"): sd[b + "mlp.fc2.weight"].T,
-            ("mlp", "fc2", "bias"): sd[b + "mlp.fc2.bias"],
+            ("norm1", "scale"): take(b + "norm1.weight"),
+            ("norm1", "bias"): take(b + "norm1.bias"),
+            ("attn", "qkv", "kernel"): take(b + "attn.qkv.weight").T,
+            ("attn", "qkv", "bias"): take(b + "attn.qkv.bias"),
+            ("attn", "proj", "kernel"): take(b + "attn.proj.weight").T,
+            ("attn", "proj", "bias"): take(b + "attn.proj.bias"),
+            ("norm2", "scale"): take(b + "norm2.weight"),
+            ("norm2", "bias"): take(b + "norm2.bias"),
+            ("mlp", "fc1", "kernel"): take(b + "mlp.fc1.weight").T,
+            ("mlp", "fc1", "bias"): take(b + "mlp.fc1.bias"),
+            ("mlp", "fc2", "kernel"): take(b + "mlp.fc2.weight").T,
+            ("mlp", "fc2", "bias"): take(b + "mlp.fc2.bias"),
         }
 
     if "blocks" in p:  # nn.scan layout: stacked (depth, ...) block params
-        for path in block_entries(0):
-            stacked = np.stack([block_entries(i)[path] for i in range(model.depth)])
-            put(["blocks", "block", *path], stacked)
+        per_block = [block_entries(i) for i in range(model.depth)]
+        for path in per_block[0]:
+            put(["blocks", "block", *path],
+                np.stack([per_block[i][path] for i in range(model.depth)]))
     else:              # unrolled layout: blocks_{i} modules
         for i in range(model.depth):
             for path, val in block_entries(i).items():
                 put([f"blocks_{i}", *path], val)
 
-    put(["norm", "scale"], sd["norm.weight"])
-    put(["norm", "bias"], sd["norm.bias"])
+    put(["norm", "scale"], take("norm.weight"))
+    put(["norm", "bias"], take("norm.bias"))
+
+    leftover = set(sd) - consumed - _IGNORED_TIMM_KEYS
+    if leftover and strict:
+        raise ValueError(
+            "unconsumed keys in timm state dict (unexpected layout): "
+            f"{sorted(leftover)}"
+        )
     return p
 
 

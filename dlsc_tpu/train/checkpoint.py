@@ -111,3 +111,29 @@ def restore_state(path: str | Path, state):
     """Module-level resume helper (``+ckpt_path=...`` flow)."""
     mgr = CheckpointManager(Path(path).parent if Path(path).name else path)
     return mgr.restore(path, state)
+
+
+def save_params(path: str | Path, params, meta: dict | None = None) -> Path:
+    """Save a params-only orbax checkpoint (pretrained-weight artifact,
+    e.g. from scripts/import_vit.py)."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    ckpt = ocp.StandardCheckpointer()
+    host = jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), dict(params))
+    ckpt.save(path, {"params": host})
+    ckpt.wait_until_finished()
+    if meta is not None:
+        (path / "ckpt_meta.json").write_text(json.dumps(meta))
+    return path
+
+
+def load_params(path: str | Path, params_template):
+    """Load a params-only checkpoint (the ``+pretrained_path=...`` warm-start
+    flow — fresh optimizer state, imported weights; mirrors the reference's
+    pretrained-trunk init at src/models/ast.py:19)."""
+    abstract = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct, {"params": params_template}
+    )
+    restored = ocp.StandardCheckpointer().restore(Path(path).absolute(), abstract)
+    return restored["params"]
