@@ -6,10 +6,11 @@ Usage:
     python scripts/analyze_study.py STUDY_NAME [--storage ...] [--out DIR] [--csv]
 
 Reports trial-state stats, pruning-epoch stats, the best trial with its
-learning curve, parameter importances (fANOVA-style: random-forest-free
-variance attribution via per-parameter correlation of ranks), and writes
-matplotlib plots (optimization history, importances, slice plots) + CSV
-export.
+learning curve, parameter importances (two dependency-free fANOVA stand-ins:
+rank-correlation proxy and binned-variance main-effect decomposition), and
+writes matplotlib plots (optimization history, importances, slice,
+parallel-coordinate, and contour plots — the same plot family as the
+reference's plotly set, scripts/analyze_study.py:183-216) + CSV export.
 """
 
 from __future__ import annotations
@@ -56,6 +57,45 @@ def param_importances(trials) -> dict[str, float]:
     return {k: v / total for k, v in sorted(scores.items(), key=lambda kv: -kv[1])}
 
 
+def param_importances_binned(trials) -> dict[str, float]:
+    """Binned-variance main-effect decomposition (closer to fANOVA than the
+    rank proxy: captures non-monotonic effects): for each parameter, bin its
+    values (quantile bins for numerics, one bin per category otherwise) and
+    score the between-bin variance of the objective over the total variance.
+    Interactions are still not captured (that genuinely needs a forest)."""
+    done = [t for t in trials if t.state == TrialState.COMPLETE and t.value is not None]
+    if len(done) < 4:
+        return {}
+    values = np.asarray([t.value for t in done], dtype=float)
+    total_var = float(np.var(values))
+    if total_var == 0:
+        return {}
+    names = sorted({k for t in done for k in t.params})
+    scores = {}
+    for name in names:
+        raw = [t.params.get(name) for t in done]
+        ok = np.asarray([v is not None for v in raw])
+        if ok.sum() < 4:
+            continue
+        vals = values[ok]
+        xs = [v for v in raw if v is not None]
+        if any(isinstance(v, (str, bool)) for v in xs):
+            bins = {v: i for i, v in enumerate(dict.fromkeys(map(str, xs)))}
+            idx = np.asarray([bins[str(v)] for v in xs])
+        else:
+            x = np.asarray(xs, dtype=float)
+            n_bins = min(8, max(2, len(x) // 3))
+            edges = np.quantile(x, np.linspace(0, 1, n_bins + 1)[1:-1])
+            idx = np.searchsorted(edges, x)
+        between = 0.0
+        for b in np.unique(idx):
+            sel = idx == b
+            between += sel.sum() * (vals[sel].mean() - vals.mean()) ** 2
+        scores[name] = float(between / len(vals) / total_var)
+    total = sum(scores.values()) or 1.0
+    return {k: v / total for k, v in sorted(scores.items(), key=lambda kv: -kv[1])}
+
+
 def analyze(study, out_dir: Path, export_csv: bool) -> None:
     trials = study.trials
     states = {s: len(study.trials_by_state(s)) for s in
@@ -90,9 +130,14 @@ def analyze(study, out_dir: Path, export_csv: bool) -> None:
         print("parameter importances (rank-correlation proxy):")
         for k, v in imps.items():
             print(f"    {k}: {v:.3f}")
+    imps_binned = param_importances_binned(trials)
+    if imps_binned:
+        print("parameter importances (binned-variance main effects):")
+        for k, v in imps_binned.items():
+            print(f"    {k}: {v:.3f}")
 
     out_dir.mkdir(parents=True, exist_ok=True)
-    _plots(study, imps, out_dir)
+    _plots(study, imps_binned or imps, out_dir)
     if export_csv:
         path = out_dir / f"{study.study_name}_trials.csv"
         names = sorted({k for t in trials for k in t.params})
@@ -104,7 +149,8 @@ def analyze(study, out_dir: Path, export_csv: bool) -> None:
                             *[t.params.get(n) for n in names]])
         print(f"csv → {path}")
     (out_dir / f"{study.study_name}_summary.json").write_text(
-        json.dumps({**study.summary(), "importances": imps}, indent=2))
+        json.dumps({**study.summary(), "importances": imps,
+                    "importances_binned": imps_binned}, indent=2))
 
 
 def _plots(study, imps, out_dir: Path) -> None:
@@ -148,6 +194,100 @@ def _plots(study, imps, out_dir: Path) -> None:
         ax.set_xlabel(name); ax.set_ylabel("objective")
         ax.set_title(f"slice: {name}")
         fig.savefig(out_dir / f"slice_{name.replace('.', '_')}.png", dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)
+    _parallel_coordinate_plot(done, names, out_dir, plt)
+    _contour_plots(done, imps, out_dir, plt)
+
+
+def _parallel_coordinate_plot(done, names, out_dir: Path, plt) -> None:
+    """Parallel-coordinate plot (reference: analyze_study.py:196-216 plotly
+    equivalent): one polyline per completed trial over min-max-normalized
+    parameter axes plus the objective axis, colored by objective value."""
+    if len(done) < 2 or not names:
+        return
+    axes = [*names, "objective"]
+
+    def axis_values(name):
+        if name == "objective":
+            return {t.number: float(t.value) for t in done}, False
+        vals = {}
+        is_cat = any(isinstance(t.params.get(name), (str, bool))
+                     for t in done if name in t.params)
+        if is_cat:
+            cats = list(dict.fromkeys(
+                str(t.params[name]) for t in done if name in t.params))
+            for t in done:
+                if name in t.params:
+                    vals[t.number] = cats.index(str(t.params[name]))
+        else:
+            for t in done:
+                if name in t.params:
+                    vals[t.number] = float(t.params[name])
+        return vals, is_cat
+
+    cols = [axis_values(a)[0] for a in axes]
+    norm_cols = []
+    for col in cols:
+        v = np.asarray(list(col.values()), dtype=float)
+        lo, hi = float(v.min()), float(v.max())
+        span = (hi - lo) or 1.0
+        norm_cols.append({k: (x - lo) / span for k, x in col.items()})
+
+    obj = cols[-1]
+    o = np.asarray(list(obj.values()))
+    olo, ohi = float(o.min()), float(o.max())
+    ospan = (ohi - olo) or 1.0
+    cmap = plt.get_cmap("viridis")
+
+    fig, ax = plt.subplots(figsize=(max(8, 1.6 * len(axes)), 5))
+    for t in done:
+        ys = [nc.get(t.number) for nc in norm_cols]
+        if any(y is None for y in ys):
+            continue
+        ax.plot(range(len(axes)), ys, alpha=0.6,
+                color=cmap((float(t.value) - olo) / ospan))
+    ax.set_xticks(range(len(axes)))
+    ax.set_xticklabels(axes, rotation=30, ha="right", fontsize=8)
+    ax.set_yticks([])
+    ax.set_title("Parallel coordinates (color = objective)")
+    fig.colorbar(plt.cm.ScalarMappable(
+        norm=plt.Normalize(olo, ohi), cmap=cmap), ax=ax, label="objective")
+    fig.savefig(out_dir / "parallel_coordinate.png", dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+
+
+def _contour_plots(done, imps, out_dir: Path, plt, max_pairs: int = 3) -> None:
+    """Contour plots of the objective over the most important numeric
+    parameter pairs (reference's plotly contour equivalent; tricontourf
+    interpolates the scattered trial points)."""
+    numeric = [n for n in (imps or {}) if sum(
+        1 for t in done
+        if n in t.params and not isinstance(t.params[n], (str, bool))) >= 4]
+    pairs = [(a, b) for i, a in enumerate(numeric) for b in numeric[i + 1:]]
+    for a, b in pairs[:max_pairs]:
+        pts = [(float(t.params[a]), float(t.params[b]), float(t.value))
+               for t in done if a in t.params and b in t.params
+               and not isinstance(t.params[a], (str, bool))
+               and not isinstance(t.params[b], (str, bool))]
+        if len(pts) < 4:
+            continue
+        x, y, z = map(np.asarray, zip(*pts))
+        if np.std(x) == 0 or np.std(y) == 0:
+            continue
+        fig, ax = plt.subplots(figsize=(6, 5))
+        try:
+            c = ax.tricontourf(x, y, z, levels=12, cmap="viridis")
+            fig.colorbar(c, ax=ax, label="objective")
+        except Exception:  # degenerate triangulation (collinear points)
+            sc = ax.scatter(x, y, c=z, cmap="viridis")
+            fig.colorbar(sc, ax=ax, label="objective")
+        ax.scatter(x, y, s=10, c="white", edgecolors="black", linewidths=0.4)
+        ax.set_xlabel(a); ax.set_ylabel(b)
+        ax.set_title(f"contour: {a} × {b}")
+        safe = f"{a}_{b}".replace(".", "_")
+        fig.savefig(out_dir / f"contour_{safe}.png", dpi=120,
                     bbox_inches="tight")
         plt.close(fig)
 

@@ -11,14 +11,15 @@ def test_analyze_study_end_to_end(tmp_path, capsys):
 
     def objective(trial):
         x = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
+        wd = trial.suggest_float("wd", 0.0, 0.3)
         c = trial.suggest_categorical("opt", ["adam", "sgd"])
         for e in range(3):
             trial.report(x * (e + 1), e)
         if trial.number % 5 == 4:
             raise TrialPruned()
-        return x * (1.5 if c == "adam" else 1.0)
+        return x * (1.5 if c == "adam" else 1.0) - 0.01 * wd
 
-    study.optimize(objective, n_trials=15)
+    study.optimize(objective, n_trials=20)
 
     import scripts.analyze_study as A
 
@@ -30,11 +31,17 @@ def test_analyze_study_end_to_end(tmp_path, capsys):
     files = {p.name for p in out.iterdir()}
     assert "optimization_history.png" in files
     assert "analyzeme_trials.csv" in files
+    # plot-family parity with the reference (analyze_study.py:196-216):
+    assert "parallel_coordinate.png" in files
+    assert any(f.startswith("contour_") for f in files), files
+    assert any(f.startswith("slice_") for f in files), files
     summary = json.loads((out / "analyzeme_summary.json").read_text())
-    assert summary["n_trials"] == 15
+    assert summary["n_trials"] == 20
     assert "importances" in summary
-    # lr should dominate importances for this objective
+    # lr should dominate both importance measures for this objective
     assert max(summary["importances"], key=summary["importances"].get) == "lr"
+    assert max(summary["importances_binned"],
+               key=summary["importances_binned"].get) == "lr"
 
 
 def test_analyze_list(tmp_path, capsys):
