@@ -213,6 +213,36 @@ def test_swa_with_lrs_trains(dm_root):
     assert 0.0 <= results["test/acc"] <= 1.0
 
 
+def test_full_fit_sharded_matches_single_device(dm_root):
+    """Trainer.fit end-to-end on the 8-device mesh ≡ single device (VERDICT
+    r1 #9): guards the loop's sharded _put/donation paths, not just the step
+    functions (which test_parallel.py covers)."""
+    import jax as _jax
+
+    if _jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(devices):
+        dm = _dm(dm_root)
+        trainer = Trainer(max_epochs=2, enable_progress_bar=False,
+                          enable_checkpointing=False, seed=0, devices=devices)
+        trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+        return trainer.history
+
+    hist1 = run(1)
+    hist8 = run("auto")  # picks the full 8-device mesh
+    assert len(hist1) == len(hist8) == 2
+    # accuracies must agree exactly; losses to ~1e-3 (Adam's m̂/√v̂ is
+    # sign-of-gradient shaped, so cross-device float-reduction reordering
+    # compounds slightly over epochs — same rationale as test_parallel.py)
+    for h1, h8 in zip(hist1, hist8):
+        assert h1["train/acc"] == h8["train/acc"]
+        np.testing.assert_allclose(h1["train/loss"], h8["train/loss"],
+                                   rtol=1e-3)
+        np.testing.assert_allclose(h1["val/acc"], h8["val/acc"], atol=1e-9)
+        np.testing.assert_allclose(h1["val/loss"], h8["val/loss"], rtol=1e-3)
+
+
 def test_mean_loss_sample_weighted():
     """mean_loss must weight batches by their valid-sample count (VERDICT r1
     weak #7): a ragged final eval batch must not count like a full one."""
