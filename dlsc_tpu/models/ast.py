@@ -38,6 +38,9 @@ def ASTModel(
     depth: int = 12,
     num_heads: int = 12,
     dtype: Any = jnp.bfloat16,
+    remat: bool = True,          # ViT-Base @ ~1650 tokens: remat blocks
+    remat_policy: str = "full",
+    attn_impl: str = "splash",
 ) -> ASTViT:
     """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;
     weight loading happens explicitly via ``load_torch_vit``."""
@@ -54,7 +57,9 @@ def ASTModel(
         f_dim=128,
         dropout=0.0,  # timm eval-mode blocks carry no dropout
         dtype=dtype,
-        remat=True,   # ViT-Base @ ~1650 tokens: rematerialize blocks
+        remat=remat,
+        remat_policy=remat_policy,
+        attn_impl=attn_impl,
     )
 
 

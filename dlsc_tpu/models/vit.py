@@ -37,6 +37,9 @@ class Attention(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     use_flash: bool = True
+    attn_impl: str = "splash"  # 'splash' | 'flash' | 'dense' (TPU kernels
+                               # need use_flash=True + TPU backend + no attn
+                               # dropout; otherwise falls back to dense)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -49,18 +52,69 @@ class Attention(nn.Module):
 
         flash_ok = (
             self.use_flash
+            and self.attn_impl != "dense"
             and jax.default_backend() == "tpu"
             and (self.dropout == 0.0 or not train)  # flash has no attn dropout
         )
-        if flash_ok:
+        if flash_ok and self.attn_impl == "splash":
+            out = _splash_mha(q, k, v, sm_scale=dh**-0.5)      # (B,H,N,dh)
+        elif flash_ok:
             out = _flash_mha(q, k, v, sm_scale=dh**-0.5)       # (B,H,N,dh)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh**-0.5)
             attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # named for the 'attn_out' remat policy: saving only this tensor lets
+        # the block-remat backward skip recomputing the attention kernel
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+def _splash_mha(q, k, v, *, sm_scale: float):
+    """Splash attention (the newer TPU Pallas MHA kernel) with pad-to-block +
+    segment-id masking: padding tokens form their own segment so they never
+    attend to (or are attended by) real tokens; pad rows are sliced off.
+
+    q, k, v: (B, H, N, dh) → (B, H, N, dh).
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as splash,
+    )
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as splash_mask,
+    )
+
+    B, H, N, dh = q.shape
+    blk = 512 if N >= 512 else 128
+    n_pad = -(-N // blk) * blk
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    q = q * sm_scale  # splash applies no softmax scale internally
+    seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)  # 0 real, 1 pad
+    segment_ids = splash.SegmentIds(q=seg, kv=seg)
+    mask = splash_mask.MultiHeadMask(
+        [splash_mask.FullMask((n_pad, n_pad)) for _ in range(H)]
+    )
+    import os
+
+    # block sizes are probe-tunable (scripts/bench_probe.py): "bq,bkv,bkvc"
+    env = os.environ.get("DLSC_SPLASH_BLOCKS")
+    bq, bkv, bkvc = (int(x) for x in env.split(",")) if env else (512, 1024, 512)
+    bs = splash.BlockSizes(
+        block_q=min(bq, n_pad), block_kv=min(bkv, n_pad),
+        block_kv_compute=min(bkvc, n_pad),
+        block_q_dkv=min(bq, n_pad), block_kv_dkv=min(bkv, n_pad),
+        block_kv_dkv_compute=min(bkvc, n_pad),
+        use_fused_bwd_kernel=os.environ.get("DLSC_SPLASH_UNFUSED") != "1",
+    )
+    kernel = splash.make_splash_mha(
+        mask=mask, block_sizes=bs, head_shards=1, q_seq_shards=1,
+    )
+    out = jax.vmap(kernel, in_axes=(0, 0, 0, None))(q, k, v, segment_ids)
+    return out[:, :, :N]
 
 
 def _flash_mha(q, k, v, *, sm_scale: float):
@@ -122,12 +176,14 @@ class Block(nn.Module):
     attn_dropout: float = 0.0   # attention-weight dropout (0 keeps flash path)
     dtype: Any = jnp.float32
     use_flash: bool = True
+    attn_impl: str = "splash"
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.attn_dropout,
-                          self.dtype, self.use_flash, name="attn")(y, train)
+                          self.dtype, self.use_flash, self.attn_impl,
+                          name="attn")(y, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
         return x
@@ -143,12 +199,13 @@ class _ScanBlock(nn.Module):
     attn_dropout: float = 0.0
     dtype: Any = jnp.float32
     use_flash: bool = True
+    attn_impl: str = "splash"
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
-                  name="block")(x, train)
+                  self.attn_impl, name="block")(x, train)
         return x, None
 
 
@@ -183,7 +240,10 @@ class ASTViT(nn.Module):
     dtype: Any = jnp.float32
     sigmoid_head: bool = True
     remat: bool = False        # rematerialize encoder blocks (memory ↔ FLOPs)
+    remat_policy: str = "full" # 'full' (save nothing) | 'dots' (save matmul
+                               # outputs — recompute only elementwise ops)
     use_flash: bool = True
+    attn_impl: str = "splash"  # 'splash' | 'flash' | 'dense'
     scan_blocks: bool = True   # lax.scan over blocks: ~depth× smaller HLO
                                # (compile time), stacked block params
 
@@ -235,10 +295,20 @@ class ASTViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.emb_dim)).astype(self.dtype), x], axis=1)
         x = x + pos[:, : N + 1].astype(self.dtype)
 
+        remat_kw = {"static_argnums": (2,)}
+        if self.remat_policy == "dots":
+            remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif self.remat_policy == "attn_out":
+            # keep attention outputs (~B·N·D per block) so backward skips the
+            # attention-kernel recompute; everything else rematerializes
+            remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                "attn_out")
+        elif self.remat_policy != "full":
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
         if self.scan_blocks:
             body = _ScanBlock
             if self.remat:
-                body = nn.remat(body, static_argnums=(2,))
+                body = nn.remat(body, **remat_kw)
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -248,15 +318,17 @@ class ASTViT(nn.Module):
                 metadata_params={nn.PARTITION_NAME: None},
             )(self.emb_dim, self.num_heads, dropout=self.dropout,
               attn_dropout=self.attn_dropout, dtype=self.dtype,
-              use_flash=self.use_flash, name="blocks")
+              use_flash=self.use_flash, attn_impl=self.attn_impl,
+              name="blocks")
             x, _ = scanned(x, train)
         else:
-            block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+            block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
             for i in range(self.depth):
                 x = block_cls(
                     self.emb_dim, self.num_heads, dropout=self.dropout,
                     attn_dropout=self.attn_dropout, dtype=self.dtype,
-                    use_flash=self.use_flash, name=f"blocks_{i}",
+                    use_flash=self.use_flash, attn_impl=self.attn_impl,
+                    name=f"blocks_{i}",
                 )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(

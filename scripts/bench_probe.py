@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""North-star probe matrix: AST-Base train-step variants on the real TPU.
+
+Times the full fused train step (mel + SpecAugment + Mixup + ViT-Base
+fwd/bwd + Adam) across attention-kernel / remat / batch-size variants and
+prints one line per variant. Used to pick bench.py's configuration
+(VERDICT r1 next-step #3). Run ONE instance at a time (serial remote
+compile queue).
+
+    python scripts/bench_probe.py [variant ...]   # default: the full matrix
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VARIANTS = {
+    # name: (batch, model kwargs[, env])
+    "flash_remat_b64": (64, dict(remat=True, remat_policy="full", attn_impl="flash")),
+    "splash_remat_b64": (64, dict(remat=True, remat_policy="full", attn_impl="splash")),
+    "splash_dots_b64": (64, dict(remat=True, remat_policy="dots", attn_impl="splash")),
+    "splash_noremat_b64": (64, dict(remat=False, attn_impl="splash")),
+    "splash_remat_b128": (128, dict(remat=True, remat_policy="full", attn_impl="splash")),
+    "splash_noremat_b32": (32, dict(remat=False, attn_impl="splash")),
+    # round 2 follow-ups
+    "splash_attnout_b64": (64, dict(remat=True, remat_policy="attn_out", attn_impl="splash")),
+    "splash_attnout_b128": (128, dict(remat=True, remat_policy="attn_out", attn_impl="splash")),
+    "splash_blocks_1024": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                           {"DLSC_SPLASH_BLOCKS": "1024,1024,1024"}),
+    "splash_blocks_2048kv": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                             {"DLSC_SPLASH_BLOCKS": "512,2048,512"}),
+    "splash_unfused_bwd": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                           {"DLSC_SPLASH_UNFUSED": "1"}),
+}
+
+
+def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> float | None:
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.models import ASTModel
+    from dlsc_tpu.train.losses import CrossEntropyLoss
+    from dlsc_tpu.train.metrics import MetricState
+    from dlsc_tpu.train.optim import adam, build_optimizer, cosine_annealing
+    from dlsc_tpu.train.state import TrainState
+    from dlsc_tpu.train.steps import make_train_step
+
+    pipe = DevicePipeline(PipelineConfig(
+        mode="ast", num_classes=50, enable_mixup=True, mixup_alpha=0.5,
+        time_mask=192, freq_mask=48,
+    ))
+    model = ASTModel(num_classes=50, **model_kw)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
+    labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
+    feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False,
+    )
+    tx, _ = build_optimizer(adam(lr=5e-4, weight_decay=1e-6),
+                            cosine_annealing(T_max=100), 25, 1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx, rng=jax.random.key(0),
+    )
+    ms = MetricState.create(50)
+    step = jax.jit(make_train_step(pipe, CrossEntropyLoss()),
+                   donate_argnums=(0, 1))
+    t_c = time.time()
+    state, ms, loss = step(state, ms, wave, labels)
+    jax.device_get(loss)
+    compile_s = time.time() - t_c
+    state, ms, loss = step(state, ms, wave, labels)  # warmup
+    jax.device_get(loss)
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, ms, loss = step(state, ms, wave, labels)
+    lossv = float(jax.device_get(loss))
+    dt = (time.time() - t0) / n_iters
+    clips = batch / dt
+    print(f"[probe] {name}: {dt * 1e3:.0f} ms/step  {clips:.1f} clips/s "
+          f"(batch {batch}, compile {compile_s:.0f}s, loss {lossv:.3f})",
+          flush=True)
+    return clips
+
+
+def check_splash_correctness() -> None:
+    """Splash MHA vs dense attention at a small shape (TPU, f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.models.vit import _splash_mha
+
+    B, H, N, dh = 2, 4, 300, 64
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, N, dh), jnp.float32) for kk in ks)
+
+    @jax.jit
+    def both(q, k, v):
+        sm = dh**-0.5
+        out_s = _splash_mha(q, k, v, sm_scale=sm)
+        attn = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm, axis=-1)
+        out_d = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return out_s, out_d
+
+    out_s, out_d = jax.device_get(both(q, k, v))
+    err = np.abs(out_s - out_d).max()
+    print(f"[probe] splash correctness: max abs err {err:.2e}", flush=True)
+    assert err < 2e-2, err
+
+
+def main(argv: list[str]) -> None:
+    check_splash_correctness()
+    import os
+
+    names = argv or list(VARIANTS)
+    results = {}
+    for name in names:
+        batch, kw, *env = VARIANTS[name]
+        os.environ.pop("DLSC_SPLASH_BLOCKS", None)
+        os.environ.pop("DLSC_SPLASH_UNFUSED", None)
+        for k, v in (env[0] if env else {}).items():
+            os.environ[k] = v
+        print(f"[probe] building {name} …", flush=True)
+        try:
+            results[name] = run_variant(name, batch, kw)
+        except Exception as e:
+            print(f"[probe] {name} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            traceback.print_exc()
+            results[name] = None
+    print("\n[probe] summary:")
+    for k, v in results.items():
+        print(f"  {k}: {v and round(v, 1)} clips/s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
