@@ -140,6 +140,9 @@ class Trainer:
         seed: int = 42,
         plan: MeshPlan | None = None,
         profile_dir: str | Path | None = None,  # jax.profiler trace of epoch 0
+        device_data: bool | str = "auto",   # dataset-in-HBM mode ('auto':
+                                            # on when the pool fits the cap)
+        device_data_max_bytes: int = 6_000_000_000,
         **_: Any,
     ):
         self.profile_dir = profile_dir
@@ -160,6 +163,8 @@ class Trainer:
         if plan is None and (n_dev or jax.device_count()) == 1:
             plan = _SingleDevicePlan()  # no mesh on a single chip
         self.plan = plan or make_plan(n_dev)
+        self.device_data = device_data
+        self.device_data_max_bytes = device_data_max_bytes
         self.state: TrainState | None = None
         self.ckpt_manager: CheckpointManager | None = None
         self.logged_metrics: dict[str, float] = {}
@@ -192,9 +197,15 @@ class Trainer:
         )
 
     def _compile_steps(self, pipeline, criterion):
+        from dlsc_tpu.train.steps import (make_eval_step_indexed,
+                                          make_train_step_indexed)
+
         plan = self.plan
-        train = make_train_step(pipeline, criterion)
-        evals = make_eval_step(pipeline, criterion)
+        indexed = getattr(self, "_use_device_data", False)
+        train = (make_train_step_indexed if indexed else make_train_step)(
+            pipeline, criterion)
+        evals = (make_eval_step_indexed if indexed else make_eval_step)(
+            pipeline, criterion)
         if plan.mesh.size == 1:
             # single chip: sharding annotations are no-ops; skip them (the
             # GSPMD pass is expensive on remote-compile backends)
@@ -203,14 +214,17 @@ class Trainer:
             self._sharded = False
         else:
             rep, bat = plan.replicated, plan.batch
+            # indexed steps take the replicated pool before the batch args
+            t_in = (rep, rep, rep, bat, bat) if indexed else (rep, rep, bat, bat)
+            e_in = (rep, rep, rep, bat, bat, bat) if indexed else (rep, rep, bat, bat, bat)
             self._train_step = jax.jit(
                 train, donate_argnums=(0, 1),
-                in_shardings=(rep, rep, bat, bat),
+                in_shardings=t_in,
                 out_shardings=(rep, rep, rep),
             )
             self._eval_step = jax.jit(
                 evals, donate_argnums=(1,),
-                in_shardings=(rep, rep, bat, bat, bat),
+                in_shardings=e_in,
                 out_shardings=(rep, bat),
             )
             self._sharded = True
@@ -220,6 +234,47 @@ class Trainer:
         if getattr(self, "_sharded", False):
             return jax.device_put(arr, self.plan.batch)
         return jax.device_put(arr, jax.devices()[0])
+
+    # -- device-resident dataset (VERDICT r1 #2: the TPU-native equivalent of
+    # the reference's host-RAM pre-load, esc50.py:167-191) --------------------
+    def _setup_device_data(self, datamodule) -> None:
+        """Decide on + perform the one-time pool upload (idempotent)."""
+        if getattr(self, "_dd_ready", False):
+            return
+        self._dd_ready = True
+        self._use_device_data = False
+        if not self.device_data or not hasattr(datamodule, "pool_parts"):
+            return
+        datamodule.setup()
+        nbytes = datamodule.pool_nbytes
+        if nbytes > self.device_data_max_bytes:
+            if self.device_data is not True:  # 'auto' falls back silently
+                print(f"[data] device-resident pool disabled: {nbytes / 1e9:.1f} GB "
+                      f"exceeds cap {self.device_data_max_bytes / 1e9:.1f} GB")
+            return
+        t0 = time.time()
+        parts, pool_labels, test_w, test_y = datamodule.pool_parts()
+        if getattr(self, "_sharded", False) or self.plan.mesh.size > 1:
+            put = lambda a: jax.device_put(np.asarray(a), self.plan.replicated)
+        else:
+            put = lambda a: jax.device_put(np.asarray(a), jax.devices()[0])
+        self._pool_dev = jnp.concatenate([put(p) for p in parts], axis=0)
+        self._test_pool_dev = put(test_w)
+        jax.block_until_ready(self._test_pool_dev)
+        self._use_device_data = True
+        print(f"[data] device-resident pool: {nbytes / 1e6:.0f} MB uploaded "
+              f"in {time.time() - t0:.1f}s (per-step wire traffic: indices only)")
+
+    def _step_args(self, batch, *, train: bool):
+        """Map a host batch onto the compiled step's tail arguments."""
+        if getattr(self, "_use_device_data", False):
+            pool = self._test_pool_dev if batch.get("split") == "test" else self._pool_dev
+            args = (pool, self._put(batch["idx"]), self._put(batch["label"]))
+        else:
+            args = (self._put(batch["wave"]), self._put(batch["label"]))
+        if not train:
+            args = args + (self._put(batch["mask"]),)
+        return args
 
     # -- fit -------------------------------------------------------------------
     def fit(
@@ -260,6 +315,7 @@ class Trainer:
 
             state = restore_state(ckpt_path, state)
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
+        self._setup_device_data(datamodule)
         self._compile_steps(pipeline, criterion)
 
         ckpt_cfg = dict(checkpoint_cfg or {})
@@ -280,7 +336,9 @@ class Trainer:
             ms = MT.MetricState.create(num_classes)
             t0 = time.time()
             n_clips = 0
-            it = datamodule.train_batches(epoch=epoch, seed=self.seed)
+            it = (datamodule.train_index_batches(epoch=epoch, seed=self.seed)
+                  if self._use_device_data
+                  else datamodule.train_batches(epoch=epoch, seed=self.seed))
             if self.enable_progress_bar:
                 from tqdm import tqdm
 
@@ -296,16 +354,13 @@ class Trainer:
             from dlsc_tpu.data.loader import prefetch
 
             def to_device(batch):
-                return (self._put(batch["wave"]), self._put(batch["label"]),
-                        len(batch["label"]))
+                return self._step_args(batch, train=True), len(batch["label"])
 
             with prof_ctx:
-                for i, (wave_d, label_d, n) in enumerate(
-                    prefetch(it, to_device, size=2)
-                ):
+                for i, (args, n) in enumerate(prefetch(it, to_device, size=2)):
                     if self.limit_train_batches and i >= self.limit_train_batches:
                         break
-                    state, ms, loss = self._train_step(state, ms, wave_d, label_d)
+                    state, ms, loss = self._train_step(state, ms, *args)
                     n_clips += n
                     if tracker and (i + 1) % log_every == 0:
                         tracker.log_metric("train/loss_step", float(loss),
@@ -322,13 +377,13 @@ class Trainer:
             # ---- validate ----
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 vms = MT.MetricState.create(num_classes)
-                for i, batch in enumerate(datamodule.val_batches()):
+                vit = (datamodule.val_index_batches() if self._use_device_data
+                       else datamodule.val_batches())
+                for i, batch in enumerate(vit):
                     if self.limit_val_batches and i >= self.limit_val_batches:
                         break
                     vms, _ = self._eval_step(
-                        state, vms, self._put(batch["wave"]),
-                        self._put(batch["label"]), self._put(batch["mask"]),
-                    )
+                        state, vms, *self._step_args(batch, train=False))
                 if int(vms.count) > 0:
                     metrics["val/acc"] = float(MT.accuracy(vms))
                     metrics["val/loss"] = float(MT.mean_loss(vms))
@@ -411,16 +466,17 @@ class Trainer:
 
         datamodule.setup()
         pipeline = datamodule.pipeline
+        self._setup_device_data(datamodule)
         if not hasattr(self, "_eval_step"):
             self._compile_steps(pipeline, criterion)
         num_classes = datamodule.num_classes
         ms = MT.MetricState.create(num_classes)
         all_probs, all_labels = [], []
-        for batch in datamodule.test_batches():
+        tit = (datamodule.test_index_batches() if self._use_device_data
+               else datamodule.test_batches())
+        for batch in tit:
             ms, logits = self._eval_step(
-                state, ms, self._put(batch["wave"]),
-                self._put(batch["label"]), self._put(batch["mask"]),
-            )
+                state, ms, *self._step_args(batch, train=False))
             p = jax.nn.softmax(jnp.asarray(logits), axis=-1)
             keep = batch["mask"]
             all_probs.append(np.asarray(p)[keep])

@@ -64,6 +64,35 @@ def make_train_step(
     return train_step
 
 
+def make_train_step_indexed(
+    pipeline: DevicePipeline, criterion: Callable
+) -> Callable:
+    """Device-resident-dataset train step: the waveform pool lives in HBM and
+    the step gathers its batch by index on chip (the TPU-native equivalent of
+    the reference's host-RAM pre-load, esc50.py:167-191). Signature:
+    train_step(state, ms, pool, idx, labels) → (state, ms, loss)."""
+    base = make_train_step(pipeline, criterion)
+
+    def train_step(state: TrainState, ms: MetricState, pool, idx, labels):
+        wave = jnp.take(pool, idx, axis=0)
+        return base(state, ms, wave, labels)
+
+    return train_step
+
+
+def make_eval_step_indexed(
+    pipeline: DevicePipeline, criterion: Callable
+) -> Callable:
+    """eval_step(state, ms, pool, idx, labels, mask) → (ms, logits)."""
+    base = make_eval_step(pipeline, criterion)
+
+    def eval_step(state: TrainState, ms: MetricState, pool, idx, labels, mask):
+        wave = jnp.take(pool, idx, axis=0)
+        return base(state, ms, wave, labels, mask)
+
+    return eval_step
+
+
 def make_eval_step(pipeline: DevicePipeline, criterion: Callable) -> Callable:
     """Returns eval_step(state, metric_state, wave, labels, mask) →
     (ms, logits). Handles the multi-crop test path: (B, n_crops, W) inputs

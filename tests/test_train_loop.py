@@ -243,6 +243,39 @@ def test_full_fit_sharded_matches_single_device(dm_root):
         np.testing.assert_allclose(h1["val/loss"], h8["val/loss"], rtol=1e-3)
 
 
+def test_device_resident_matches_host_path(dm_root):
+    """The device-resident dataset mode (pool in device memory, per-step
+    index gather) must produce identical training to the host wave-transfer
+    path — same batch composition (shared _iter_index) and same math."""
+
+    def run(device_data):
+        dm = _dm(dm_root)
+        trainer = Trainer(max_epochs=1, enable_progress_bar=False,
+                          enable_checkpointing=False, seed=0, devices=1,
+                          device_data=device_data)
+        trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+        assert trainer._use_device_data is bool(device_data)
+        return trainer.history[-1]
+
+    h_host = run(False)
+    h_dev = run("auto")
+    assert h_host["train/acc"] == h_dev["train/acc"]
+    np.testing.assert_allclose(h_host["train/loss"], h_dev["train/loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(h_host["val/loss"], h_dev["val/loss"],
+                               rtol=1e-5)
+
+
+def test_device_resident_pool_cap(dm_root):
+    """'auto' must fall back to the host path when the pool exceeds the cap."""
+    dm = _dm(dm_root)
+    trainer = Trainer(max_epochs=1, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0, devices=1,
+                      device_data="auto", device_data_max_bytes=1000)
+    trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+    assert trainer._use_device_data is False
+
+
 def test_mean_loss_sample_weighted():
     """mean_loss must weight batches by their valid-sample count (VERDICT r1
     weak #7): a ragged final eval batch must not count like a full one."""
