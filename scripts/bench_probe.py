@@ -38,6 +38,16 @@ VARIANTS = {
                              {"DLSC_SPLASH_BLOCKS": "512,2048,512"}),
     "splash_unfused_bwd": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
                            {"DLSC_SPLASH_UNFUSED": "1"}),
+    "splash_kv2048_c1024": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                            {"DLSC_SPLASH_BLOCKS": "512,2048,1024"}),
+    "splash_kv2048_c2048": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                            {"DLSC_SPLASH_BLOCKS": "512,2048,2048"}),
+    "splash_q1024_kv2048": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                            {"DLSC_SPLASH_BLOCKS": "1024,2048,512"}),
+    "splash_q256_kv2048": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                           {"DLSC_SPLASH_BLOCKS": "256,2048,512"}),
+    "splash_q2048_kv2048": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                            {"DLSC_SPLASH_BLOCKS": "2048,2048,512"}),
 }
 
 
@@ -93,6 +103,49 @@ def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> flo
     return clips
 
 
+def run_fwd_probe(batch: int = 64, n_iters: int = 10) -> None:
+    """Forward-only timing (train-mode pipeline + ViT fwd + loss, no grad) —
+    splits the step into fwd vs bwd+update for diagnostics."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.models import ASTModel
+    from dlsc_tpu.train.losses import CrossEntropyLoss
+
+    pipe = DevicePipeline(PipelineConfig(
+        mode="ast", num_classes=50, enable_mixup=True, mixup_alpha=0.5,
+        time_mask=192, freq_mask=48,
+    ))
+    model = ASTModel(num_classes=50, remat=False)  # fwd-only: no remat needed
+    crit = CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
+    labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
+    feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False,
+    )
+
+    @jax.jit
+    def fwd(params, wave, labels):
+        inputs, y = pipe.train_batch(wave, labels, jax.random.key(3))
+        logits = model.apply({"params": params}, inputs, train=True,
+                             rngs={"dropout": jax.random.key(4)})
+        return crit(logits, y)
+
+    p = variables["params"]
+    jax.device_get(fwd(p, wave, labels))
+    t0 = time.time()
+    for _ in range(n_iters):
+        loss = fwd(p, wave, labels)
+    jax.device_get(loss)
+    dt = (time.time() - t0) / n_iters
+    print(f"[probe] fwd_only_b{batch}: {dt * 1e3:.0f} ms  "
+          f"({batch / dt:.1f} clips/s)", flush=True)
+
+
 def check_splash_correctness() -> None:
     """Splash MHA vs dense attention at a small shape (TPU, f32)."""
     import jax
@@ -125,6 +178,9 @@ def main(argv: list[str]) -> None:
     names = argv or list(VARIANTS)
     results = {}
     for name in names:
+        if name == "fwd_only":
+            run_fwd_probe()
+            continue
         batch, kw, *env = VARIANTS[name]
         os.environ.pop("DLSC_SPLASH_BLOCKS", None)
         os.environ.pop("DLSC_SPLASH_UNFUSED", None)
