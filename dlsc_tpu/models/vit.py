@@ -17,6 +17,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint  # checkpoint_name is not reachable as a lazy jax attr
 import jax.numpy as jnp
 
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
@@ -86,8 +87,18 @@ def _splash_mha(q, k, v, *, sm_scale: float):
         splash_attention_mask as splash_mask,
     )
 
+    import os
+
     B, H, N, dh = q.shape
-    blk = 512 if N >= 512 else 128
+    # Attention cost scales with n_pad², so finer padding looks attractive
+    # (1645 real tokens → 2048 @512-grain = 1.55× the FLOPs of 1664
+    # @128-grain) — but block width dominates: 128-wide blocks run the
+    # north-star step at 15.9 clips/s vs 40.0 with 512/1024 blocks (measured,
+    # scripts/bench_probe.py splash_pad128_b64). Default stays 512; the knob
+    # remains probe-tunable (DLSC_SPLASH_PAD) and block sizes are clamped to
+    # divisors of the padded length.
+    grain = int(os.environ.get("DLSC_SPLASH_PAD", "512"))
+    blk = grain if N >= grain else 128
     n_pad = -(-N // blk) * blk
     if n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
@@ -98,20 +109,49 @@ def _splash_mha(q, k, v, *, sm_scale: float):
     mask = splash_mask.MultiHeadMask(
         [splash_mask.FullMask((n_pad, n_pad)) for _ in range(H)]
     )
-    import os
 
     # block sizes are probe-tunable (scripts/bench_probe.py): "bq,bkv,bkvc"
     env = os.environ.get("DLSC_SPLASH_BLOCKS")
     bq, bkv, bkvc = (int(x) for x in env.split(",")) if env else (512, 1024, 512)
-    bs = splash.BlockSizes(
-        block_q=min(bq, n_pad), block_kv=min(bkv, n_pad),
-        block_kv_compute=min(bkvc, n_pad),
-        block_q_dkv=min(bq, n_pad), block_kv_dkv=min(bkv, n_pad),
-        block_kv_dkv_compute=min(bkvc, n_pad),
-        use_fused_bwd_kernel=os.environ.get("DLSC_SPLASH_UNFUSED") != "1",
+
+    def _fit(b: int) -> int:
+        """Largest 128-multiple ≤ b that divides n_pad (kernel grid constraint)."""
+        b = min(b, n_pad)
+        b -= b % 128
+        while b > 128 and n_pad % b:
+            b -= 128
+        return max(b, 128)
+
+    def _triple(bq: int, bkv: int, bkvc: int) -> tuple[int, int, int]:
+        bq, bkv, bkvc = _fit(bq), _fit(bkv), _fit(bkvc)
+        bkvc = min(bkvc, bkv)
+        while bkv % bkvc:  # kernel: bkv must be a multiple of bkv_compute
+            bkvc -= 128
+        return bq, bkv, bkvc
+
+    bq, bkv, bkvc = _triple(bq, bkv, bkvc)
+    # backward blocks default to the forward ones but tune independently
+    # (the fused dkv/dq kernel has different VMEM pressure than the fwd)
+    benv = os.environ.get("DLSC_SPLASH_BWD_BLOCKS")
+    bq_b, bkv_b, bkvc_b = (
+        _triple(*(int(x) for x in benv.split(","))) if benv else (bq, bkv, bkvc)
     )
+    fused = os.environ.get("DLSC_SPLASH_UNFUSED") != "1"
+    bs = splash.BlockSizes(
+        block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
+        block_q_dkv=bq_b, block_kv_dkv=bkv_b, block_kv_dkv_compute=bkvc_b,
+        block_q_dq=None if fused else bq_b,
+        block_kv_dq=None if fused else bkv_b,
+        use_fused_bwd_kernel=fused,
+    )
+    # Name the kernel's own residuals (padded out + logsumexp) so the
+    # 'attn_res' remat policy can save them: the kernel is a custom_vjp whose
+    # backward consumes (q, k, v, out, lse) — with out+lse saved, the remat'd
+    # backward DCEs the kernel-forward recompute entirely (q/k/v re-derive
+    # from the cheap qkv matmul). ~208 MB/block at B=64.
     kernel = splash.make_splash_mha(
         mask=mask, block_sizes=bs, head_shards=1, q_seq_shards=1,
+        residual_checkpoint_name="attn_res",
     )
     out = jax.vmap(kernel, in_axes=(0, 0, 0, None))(q, k, v, segment_ids)
     return out[:, :, :N]
@@ -299,10 +339,22 @@ class ASTViT(nn.Module):
         if self.remat_policy == "dots":
             remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         elif self.remat_policy == "attn_out":
-            # keep attention outputs (~B·N·D per block) so backward skips the
-            # attention-kernel recompute; everything else rematerializes
+            # keep attention outputs (~B·N·D per block). NOTE (measured, TPU
+            # r2): this does NOT skip the attention-kernel recompute — the
+            # splash kernel is a custom_vjp whose backward consumes its own
+            # residuals (q,k,v,out,logsumexp), so the remat'd backward re-runs
+            # the kernel forward regardless of saved downstream tensors
+            # (39.8 vs 40.0 clips/s). It only saves the proj-input recompute.
             remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
                 "attn_out")
+        elif self.remat_policy == "attn_res":
+            # save the splash kernel's OWN residuals (padded out + logsumexp,
+            # named inside the kernel via residual_checkpoint_name): the
+            # backward then reuses them instead of re-running the kernel
+            # forward — the decisive remat policy for this model (the kernel
+            # refwd is ~200 ms/step at B=64; everything else recomputes cheap)
+            remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                "attn_res")
         elif self.remat_policy != "full":
             raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
         if self.scan_blocks:

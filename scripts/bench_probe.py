@@ -48,6 +48,28 @@ VARIANTS = {
                            {"DLSC_SPLASH_BLOCKS": "256,2048,512"}),
     "splash_q2048_kv2048": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
                             {"DLSC_SPLASH_BLOCKS": "2048,2048,512"}),
+    # padding-granularity variants: attention cost ∝ n_pad²
+    # (N=1645 → pad 2048 @512-grain, 1792 @256, 1664 @128)
+    "splash_pad512_b64": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                          {"DLSC_SPLASH_PAD": "512"}),
+    "splash_pad256_b64": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                          {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "256,896,896"}),
+    "splash_pad128_b64": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                          {"DLSC_SPLASH_PAD": "128"}),
+    "splash_pad128_attnout": (64, dict(remat=True, remat_policy="attn_out", attn_impl="splash"),
+                              {"DLSC_SPLASH_PAD": "128"}),
+    "splash_pad256_attnout": (64, dict(remat=True, remat_policy="attn_out", attn_impl="splash"),
+                              {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "256,896,896"}),
+    # pad-1792 with wide blocks: kernel fwd+bwd 40.2 ms vs 52.1 (grad sweep)
+    "splash_pad1792_b64": (64, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                           {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
+    "splash_pad1792_b128": (128, dict(remat=True, remat_policy="full", attn_impl="splash"),
+                            {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
+    # attn_res: save kernel out+lse → backward skips the kernel-fwd recompute
+    "splash_attnres_pad1792_b64": (64, dict(remat=True, remat_policy="attn_res", attn_impl="splash"),
+                                   {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
+    "splash_attnres_pad1792_b128": (128, dict(remat=True, remat_policy="attn_res", attn_impl="splash"),
+                                    {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
 }
 
 
@@ -184,6 +206,7 @@ def main(argv: list[str]) -> None:
         batch, kw, *env = VARIANTS[name]
         os.environ.pop("DLSC_SPLASH_BLOCKS", None)
         os.environ.pop("DLSC_SPLASH_UNFUSED", None)
+        os.environ.pop("DLSC_SPLASH_PAD", None)
         for k, v in (env[0] if env else {}).items():
             os.environ[k] = v
         print(f"[probe] building {name} …", flush=True)
