@@ -39,7 +39,9 @@ def ASTModel(
     num_heads: int = 12,
     dtype: Any = jnp.bfloat16,
     remat: bool = True,          # ViT-Base @ ~1650 tokens: remat blocks
-    remat_policy: str = "full",
+    remat_policy: str = "attn_res",  # save splash out+lse: backward skips the
+                                     # kernel-fwd recompute (+2.6 clips/s,
+                                     # ~2.5 GB saved activations @ B=64)
     attn_impl: str = "splash",
 ) -> ASTViT:
     """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;

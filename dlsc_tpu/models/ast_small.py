@@ -25,6 +25,10 @@ def ASTViTSmall(
     num_heads: int = 6,
     f_dim: int = 128,
     dtype: Any = jnp.bfloat16,
+    attn_impl: str = "splash",
+    attn_dropout: float = 0.0,
+    remat: bool = False,
+    remat_policy: str = "full",
 ) -> ASTViT:
     return ASTViT(
         num_classes=num_classes,
@@ -38,4 +42,8 @@ def ASTViTSmall(
         f_dim=f_dim,
         dropout=0.1,
         dtype=dtype,
+        attn_impl=attn_impl,
+        attn_dropout=attn_dropout,
+        remat=remat,
+        remat_policy=remat_policy,
     )

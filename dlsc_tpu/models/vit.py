@@ -23,6 +23,22 @@ import jax.numpy as jnp
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _pad_grain() -> int:
+    """Sequence-padding grain for the TPU attention kernels.
+
+    Attention cost scales with n_pad² but block width dominates kernel
+    efficiency, and legal block widths must divide n_pad. Grain 256 is the
+    measured sweet spot for AST shapes: 1645 real tokens → n_pad 1792
+    (vs 2048 @512-grain, 1.14× fewer FLOPs) while still admitting 896-wide
+    blocks (kernel fwd+bwd 40.2 ms vs 52.1 @pad-2048, splash_grad_sweep).
+    128-grain pads tightest (1664) but 1664 = 13·128 with 13 prime only
+    admits 128-wide blocks — 2.5× slower. Probe-tunable via DLSC_SPLASH_PAD.
+    """
+    import os
+
+    return int(os.environ.get("DLSC_SPLASH_PAD", "256"))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with timm-style packed qkv.
 
@@ -41,15 +57,23 @@ class Attention(nn.Module):
     attn_impl: str = "splash"  # 'splash' | 'flash' | 'dense' (TPU kernels
                                # need use_flash=True + TPU backend + no attn
                                # dropout; otherwise falls back to dense)
+    n_real: int | None = None  # true token count when the caller already
+                               # padded the sequence to the kernel grain
+                               # (encoder-wide padding); kernels mask
+                               # tokens >= n_real via segment ids
 
     @nn.compact
     def __call__(self, x, train: bool):
         B, N, D = x.shape
         H = self.num_heads
         dh = D // H
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,dh)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # head-split einsums instead of Dense + reshape/transpose: the
+        # (B,N,H,dh)<->(B,H,N,dh) transposes around the attention kernel cost
+        # ~186 ms/step in the remat'd backward on AST-Base @ B=64 (measured,
+        # bench_micro attn_ctx_grad: 748 -> 562 ms). Param tree is identical
+        # to nn.Dense(3D, name='qkv') / nn.Dense(D, name='proj') so the timm
+        # importer, TP shardings and checkpoints are unaffected.
+        q, k, v = _PackedQKV(D, H, self.dtype, name="qkv")(x)
 
         flash_ok = (
             self.use_flash
@@ -58,27 +82,79 @@ class Attention(nn.Module):
             and (self.dropout == 0.0 or not train)  # flash has no attn dropout
         )
         if flash_ok and self.attn_impl == "splash":
-            out = _splash_mha(q, k, v, sm_scale=dh**-0.5)      # (B,H,N,dh)
+            out = _splash_mha(q, k, v, sm_scale=dh**-0.5,
+                              n_real=self.n_real)              # (B,H,N,dh)
         elif flash_ok:
-            out = _flash_mha(q, k, v, sm_scale=dh**-0.5)       # (B,H,N,dh)
+            out = _flash_mha(q, k, v, sm_scale=dh**-0.5,
+                             n_real=self.n_real)               # (B,H,N,dh)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh**-0.5)
+            if self.n_real is not None and self.n_real < N:
+                # encoder-wide padded input on the dense path: mask pad keys
+                keep = jnp.arange(N) < self.n_real
+                attn = jnp.where(keep[None, None, None, :], attn, -1e30)
             attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        # named for the 'attn_out' remat policy: saving only this tensor lets
-        # the block-remat backward skip recomputing the attention kernel
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        return _HeadMergeProj(D, H, self.dtype, name="proj")(out)
 
 
-def _splash_mha(q, k, v, *, sm_scale: float):
+class _PackedQKV(nn.Module):
+    """timm-compatible packed qkv projection, head-split.
+
+    Params are exactly ``nn.Dense(3*dim, name='qkv')``'s (``kernel`` (D, 3D)
+    in [q|k|v] column order, ``bias`` (3D,)), but the matmuls are expressed as
+    per-head einsums producing q, k, v directly in the attention kernels'
+    (B, H, N, dh) layout — no materialized transposes in forward or backward.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D, H = self.dim, self.num_heads
+        dh = D // H
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, 3 * D))
+        bias = self.param("bias", nn.initializers.zeros_init(), (3 * D,))
+        w = kernel.astype(self.dtype).reshape(D, 3, H, dh)
+        b = bias.astype(self.dtype).reshape(3, H, dh)
+        q = jnp.einsum("bnd,dhk->bhnk", x, w[:, 0]) + b[0][None, :, None, :]
+        k = jnp.einsum("bnd,dhk->bhnk", x, w[:, 1]) + b[1][None, :, None, :]
+        v = jnp.einsum("bnd,dhk->bhnk", x, w[:, 2]) + b[2][None, :, None, :]
+        return q, k, v
+
+
+class _HeadMergeProj(nn.Module):
+    """timm-compatible output projection consuming (B, H, N, dh) directly:
+    params are ``nn.Dense(dim, name='proj')``'s (``kernel`` (D, D) with rows
+    in concatenated-head order, ``bias`` (D,)); the head merge is folded into
+    the dot via a (H, dh, D) reshape of the kernel."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, out):
+        D, H = self.dim, self.num_heads
+        dh = D // H
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, D))
+        bias = self.param("bias", nn.initializers.zeros_init(), (D,))
+        w = kernel.astype(self.dtype).reshape(H, dh, D)
+        return jnp.einsum("bhnd,hdo->bno", out, w) + bias.astype(self.dtype)
+
+
+def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     """Splash attention (the newer TPU Pallas MHA kernel) with pad-to-block +
     segment-id masking: padding tokens form their own segment so they never
     attend to (or are attended by) real tokens; pad rows are sliced off.
 
-    q, k, v: (B, H, N, dh) → (B, H, N, dh).
+    q, k, v: (B, H, N, dh) → (B, H, N, dh). ``n_real``: true token count when
+    the caller already padded N to the kernel grain (tokens >= n_real are
+    masked); None means all N tokens are real.
     """
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as splash,
@@ -90,29 +166,26 @@ def _splash_mha(q, k, v, *, sm_scale: float):
     import os
 
     B, H, N, dh = q.shape
-    # Attention cost scales with n_pad², so finer padding looks attractive
-    # (1645 real tokens → 2048 @512-grain = 1.55× the FLOPs of 1664
-    # @128-grain) — but block width dominates: 128-wide blocks run the
-    # north-star step at 15.9 clips/s vs 40.0 with 512/1024 blocks (measured,
-    # scripts/bench_probe.py splash_pad128_b64). Default stays 512; the knob
-    # remains probe-tunable (DLSC_SPLASH_PAD) and block sizes are clamped to
-    # divisors of the padded length.
-    grain = int(os.environ.get("DLSC_SPLASH_PAD", "512"))
+    grain = _pad_grain()
     blk = grain if N >= grain else 128
     n_pad = -(-N // blk) * blk
     if n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
     q = q * sm_scale  # splash applies no softmax scale internally
-    seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)  # 0 real, 1 pad
+    if n_real is None:
+        n_real = N
+    seg = (jnp.arange(n_pad) >= n_real).astype(jnp.int32)  # 0 real, 1 pad
     segment_ids = splash.SegmentIds(q=seg, kv=seg)
     mask = splash_mask.MultiHeadMask(
         [splash_mask.FullMask((n_pad, n_pad)) for _ in range(H)]
     )
 
-    # block sizes are probe-tunable (scripts/bench_probe.py): "bq,bkv,bkvc"
+    # block sizes are probe-tunable (scripts/bench_probe.py): "bq,bkv,bkvc".
+    # 896,1792,896 is the best of 15 swept configs at AST's n_pad=1792
+    # (_fit clamps to legal divisors at other sequence lengths).
     env = os.environ.get("DLSC_SPLASH_BLOCKS")
-    bq, bkv, bkvc = (int(x) for x in env.split(",")) if env else (512, 1024, 512)
+    bq, bkv, bkvc = (int(x) for x in env.split(",")) if env else (896, 1792, 896)
 
     def _fit(b: int) -> int:
         """Largest 128-multiple ≤ b that divides n_pad (kernel grid constraint)."""
@@ -137,12 +210,18 @@ def _splash_mha(q, k, v, *, sm_scale: float):
         _triple(*(int(x) for x in benv.split(","))) if benv else (bq, bkv, bkvc)
     )
     fused = os.environ.get("DLSC_SPLASH_UNFUSED") != "1"
+    layout = (
+        splash.QKVLayout.SEQ_MINOR
+        if os.environ.get("DLSC_SPLASH_LAYOUT") == "seq_minor"
+        else splash.QKVLayout.HEAD_DIM_MINOR
+    )
     bs = splash.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
         block_q_dkv=bq_b, block_kv_dkv=bkv_b, block_kv_dkv_compute=bkvc_b,
         block_q_dq=None if fused else bq_b,
         block_kv_dq=None if fused else bkv_b,
         use_fused_bwd_kernel=fused,
+        q_layout=layout, k_layout=layout, v_layout=layout,
     )
     # Name the kernel's own residuals (padded out + logsumexp) so the
     # 'attn_res' remat policy can save them: the kernel is a custom_vjp whose
@@ -157,7 +236,7 @@ def _splash_mha(q, k, v, *, sm_scale: float):
     return out[:, :, :N]
 
 
-def _flash_mha(q, k, v, *, sm_scale: float):
+def _flash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     """Pallas TPU flash attention with pad-to-block + segment-id masking.
 
     Explicit BlockSizes matter: the library defaults pick small blocks that
@@ -173,7 +252,9 @@ def _flash_mha(q, k, v, *, sm_scale: float):
     if n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-    seg = (jnp.arange(n_pad) >= N).astype(jnp.int32)[None, :]  # 0 real, 1 pad
+    if n_real is None:
+        n_real = N
+    seg = (jnp.arange(n_pad) >= n_real).astype(jnp.int32)[None, :]  # 0 real, 1 pad
     seg = jnp.broadcast_to(seg, (B, n_pad))
     # block size must divide n_pad (kernel asserts seq_len % block == 0):
     # n_pad is a multiple of 512 (or 128 for short seqs), so prefer 1024
@@ -217,13 +298,14 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = True
     attn_impl: str = "splash"
+    n_real: int | None = None   # see Attention.n_real
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.attn_dropout,
                           self.dtype, self.use_flash, self.attn_impl,
-                          name="attn")(y, train)
+                          self.n_real, name="attn")(y, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
         return x
@@ -240,12 +322,13 @@ class _ScanBlock(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = True
     attn_impl: str = "splash"
+    n_real: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
-                  self.attn_impl, name="block")(x, train)
+                  self.attn_impl, self.n_real, name="block")(x, train)
         return x, None
 
 
@@ -286,6 +369,9 @@ class ASTViT(nn.Module):
     attn_impl: str = "splash"  # 'splash' | 'flash' | 'dense'
     scan_blocks: bool = True   # lax.scan over blocks: ~depth× smaller HLO
                                # (compile time), stacked block params
+    encoder_pad: bool = True   # pad tokens to the kernel grain once for the
+                               # whole encoder (TPU flash paths only) instead
+                               # of per-block — see __call__
 
     @property
     def t_dim(self) -> int:
@@ -335,6 +421,29 @@ class ASTViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.emb_dim)).astype(self.dtype), x], axis=1)
         x = x + pos[:, : N + 1].astype(self.dtype)
 
+        # Encoder-wide padding (TPU): pad the token matrix to the attention
+        # kernel grain ONCE instead of per-block — the per-block q/k/v pad +
+        # out slice copies cost ~124 ms/step on AST-Base @ B=64 (measured,
+        # bench_micro attn_ctx_grad: 860 → 748 ms). Pad rows are isolated in
+        # the kernels via segment ids (n_real) and masked on the dense
+        # fallback; LN/MLP on pad rows is harmless and the head reads only
+        # the CLS token (index 0). Costs ~9% extra matmul rows at AST shapes.
+        n_real = None
+        n_tok = N + 1
+        pad_ok = (
+            self.encoder_pad
+            and self.use_flash
+            and self.attn_impl != "dense"
+            and jax.default_backend() == "tpu"
+            and self.attn_dropout == 0.0
+        )
+        if pad_ok:
+            grain = _pad_grain()
+            n_pad = -(-n_tok // grain) * grain if n_tok >= grain else n_tok
+            if n_pad != n_tok:
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
+                n_real = n_tok
+
         remat_kw = {"static_argnums": (2,)}
         if self.remat_policy == "dots":
             remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -371,7 +480,7 @@ class ASTViT(nn.Module):
             )(self.emb_dim, self.num_heads, dropout=self.dropout,
               attn_dropout=self.attn_dropout, dtype=self.dtype,
               use_flash=self.use_flash, attn_impl=self.attn_impl,
-              name="blocks")
+              n_real=n_real, name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
@@ -380,7 +489,7 @@ class ASTViT(nn.Module):
                     self.emb_dim, self.num_heads, dropout=self.dropout,
                     attn_dropout=self.attn_dropout, dtype=self.dtype,
                     use_flash=self.use_flash, attn_impl=self.attn_impl,
-                    name=f"blocks_{i}",
+                    n_real=n_real, name=f"blocks_{i}",
                 )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(

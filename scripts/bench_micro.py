@@ -361,6 +361,62 @@ def main(which: list[str]) -> None:
             return jax.grad(f, argnums=(0, 1))(wqkv, wproj)
 
         _time(jax.jit(g), x0, wqkv, wproj, label="12x attn asm grad (attn_res)")
+
+        # variant: kernel-enforced SEQ_MINOR qkv layouts (moves the transpose
+        # into the kernel wrapper; may unblock XLA fusing the bwd transposes)
+        os.environ["DLSC_SPLASH_LAYOUT"] = "seq_minor"
+        try:
+            _time(jax.jit(g), x0, wqkv, wproj,
+                  label="12x attn asm grad (attn_res, seq_minor)")
+        except Exception as e:
+            print(f"[micro] seq_minor FAILED: {str(e)[:140]}", flush=True)
+        os.environ.pop("DLSC_SPLASH_LAYOUT", None)
+
+        # variant: tokens pre-padded to 1792 — per-block pad/slice copies
+        # disappear; matmuls pay +8.8% rows
+        xp = jnp.asarray(rng.standard_normal((B, 1792, D)), jnp.bfloat16)
+
+        def gp(x, wqkv, wproj):
+            def f(wqkv, wproj):
+                y = x
+                for _ in range(12):
+                    y = jax.checkpoint(attn_asm_pad, policy=pol)(y, wqkv, wproj)
+                return jnp.sum(y.astype(jnp.float32))
+            return jax.grad(f, argnums=(0, 1))(wqkv, wproj)
+
+        def attn_asm_pad(x, wqkv, wproj):
+            Np = 1792
+            qkv = (x @ wqkv).reshape(B, Np, 3, H, DH).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out = _splash_mha(q, k, v, sm_scale=DH**-0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Np, D)
+            return out @ wproj
+
+        _time(jax.jit(gp), xp, wqkv, wproj,
+              label="12x attn asm grad (attn_res, encoder-wide 1792)")
+
+        # variant: einsum assembly — 3-D weights fold the head split/merge
+        # into the dots (no explicit (B,N,H,dh)<->(B,H,N,dh) transposes)
+        wqkv3 = wqkv.reshape(D, 3, H, DH).transpose(1, 0, 2, 3)  # (3,D,H,dh)
+        wproj3 = wproj.reshape(H, DH, D)
+
+        def attn_asm_einsum(x, wqkv3, wproj3):
+            q = jnp.einsum("bnd,dhk->bhnk", x, wqkv3[0])
+            k = jnp.einsum("bnd,dhk->bhnk", x, wqkv3[1])
+            v = jnp.einsum("bnd,dhk->bhnk", x, wqkv3[2])
+            out = _splash_mha(q, k, v, sm_scale=DH**-0.5)
+            return jnp.einsum("bhnd,hdo->bno", out, wproj3)
+
+        def ge(x, wqkv3, wproj3):
+            def f(wqkv3, wproj3):
+                y = x
+                for _ in range(12):
+                    y = jax.checkpoint(attn_asm_einsum, policy=pol)(y, wqkv3, wproj3)
+                return jnp.sum(y.astype(jnp.float32))
+            return jax.grad(f, argnums=(0, 1))(wqkv3, wproj3)
+
+        _time(jax.jit(ge), xp, wqkv3, wproj3,
+              label="12x attn asm grad (attn_res, 1792, einsum)")
         for k_ in ("DLSC_SPLASH_PAD", "DLSC_SPLASH_BLOCKS"):
             os.environ.pop(k_, None)
 

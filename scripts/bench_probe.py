@@ -70,6 +70,15 @@ VARIANTS = {
                                    {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
     "splash_attnres_pad1792_b128": (128, dict(remat=True, remat_policy="attn_res", attn_impl="splash"),
                                     {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
+    # ast_small at AST-Base token count (stride 10 → ~1650 tokens): the
+    # VERDICT r1 #5 measurement — splash path in training vs the dense
+    # attention the reference's in-attention dropout would force
+    "ast_small_splash_b64": (64, dict(attn_impl="splash"),
+                             {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
+    "ast_small_dense_b64": (64, dict(attn_impl="dense", attn_dropout=0.1)),
+    # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
+    "default_b64": (64, dict()),
+    "default_b128": (128, dict()),
 }
 
 
@@ -79,6 +88,7 @@ def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> flo
 
     from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
     from dlsc_tpu.models import ASTModel
+    from dlsc_tpu.models.ast_small import ASTViTSmall
     from dlsc_tpu.train.losses import CrossEntropyLoss
     from dlsc_tpu.train.metrics import MetricState
     from dlsc_tpu.train.optim import adam, build_optimizer, cosine_annealing
@@ -89,7 +99,8 @@ def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> flo
         mode="ast", num_classes=50, enable_mixup=True, mixup_alpha=0.5,
         time_mask=192, freq_mask=48,
     ))
-    model = ASTModel(num_classes=50, **model_kw)
+    builder = ASTViTSmall if name.startswith("ast_small") else ASTModel
+    model = builder(num_classes=50, **model_kw)
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
     labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
