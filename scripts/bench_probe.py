@@ -73,9 +73,16 @@ VARIANTS = {
     # ast_small at AST-Base token count (stride 10 → ~1650 tokens): the
     # VERDICT r1 #5 measurement — splash path in training vs the dense
     # attention the reference's in-attention dropout would force
-    "ast_small_splash_b64": (64, dict(attn_impl="splash"),
-                             {"DLSC_SPLASH_PAD": "256", "DLSC_SPLASH_BLOCKS": "896,1792,896"}),
-    "ast_small_dense_b64": (64, dict(attn_impl="dense", attn_dropout=0.1)),
+    "ast_small_splash_b64": (64, dict(attn_impl="splash", remat=True,
+                                      remat_policy="attn_res")),
+    "ast_small_dense_b64": (64, dict(attn_impl="dense", attn_dropout=0.1,
+                                     remat=True, remat_policy="full")),
+    # dense does not compile at b64 (per-block (B,H,N,N) buffers); smaller
+    # batches give the per-clip comparison
+    "ast_small_dense_b32": (32, dict(attn_impl="dense", attn_dropout=0.1,
+                                     remat=True, remat_policy="full")),
+    "ast_small_dense_b16": (16, dict(attn_impl="dense", attn_dropout=0.1,
+                                     remat=True, remat_policy="full")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
     "default_b128": (128, dict()),
