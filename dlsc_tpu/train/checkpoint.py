@@ -56,6 +56,8 @@ class CheckpointManager:
         return tree
 
     def save(self, state, epoch: int, metrics: dict) -> Path | None:
+        if self.save_top_k <= 0:  # checkpointing disabled (save_top_k: 0)
+            return None
         value = float(metrics.get(self.monitor, float("nan")))
         if np.isnan(value):
             return None

@@ -86,6 +86,18 @@ def test_fit_val_test_cycle(dm_root, tmp_path):
     tracker.finish()
 
 
+def test_checkpointing_disabled_with_save_top_k_zero(tmp_path):
+    """save_top_k: 0 must no-op instead of crashing on the empty best-list
+    (regression: min() over no saved checkpoints)."""
+    from dlsc_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", monitor="val/acc", mode="max",
+                            save_top_k=0)
+    assert mgr.save(None, 0, {"val/acc": 0.5}) is None
+    assert mgr.best_path is None
+    assert not any((tmp_path / "ck").iterdir())
+
+
 def test_resume_from_checkpoint(dm_root, tmp_path):
     dm = _dm(dm_root)
     t1 = Trainer(max_epochs=2, enable_progress_bar=False,
