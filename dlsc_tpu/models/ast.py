@@ -43,6 +43,12 @@ def ASTModel(
                                      # kernel-fwd recompute (+2.6 clips/s,
                                      # ~2.5 GB saved activations @ B=64)
     attn_impl: str = "splash",
+    scan_blocks: bool = False,   # unrolled blocks: 64.1 vs 57.5 clips/s on
+                                 # the north star (XLA schedules the unrolled
+                                 # backward better than lax.scan) at the cost
+                                 # of a ~3x longer first compile (60 s,
+                                 # cached). True = scan (smaller HLO; the
+                                 # vmapped-HPO and multichip paths use it)
 ) -> ASTViT:
     """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;
     weight loading happens explicitly via ``load_torch_vit``."""
@@ -62,6 +68,7 @@ def ASTModel(
         remat=remat,
         remat_policy=remat_policy,
         attn_impl=attn_impl,
+        scan_blocks=scan_blocks,
     )
 
 

@@ -86,6 +86,8 @@ VARIANTS = {
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
     "default_b128": (128, dict()),
+    "default_noscan_b64": (64, dict(scan_blocks=False)),
+    "default_b96": (96, dict()),
 }
 
 
