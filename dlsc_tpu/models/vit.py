@@ -175,16 +175,20 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     q = q * sm_scale  # splash applies no softmax scale internally
     if n_real is None:
         n_real = N
-    # Segment-id masking (pad tokens form their own segment). A static
-    # column mask (NumpyMask with cols < n_real) was measured identical —
-    # with block_kv=1792 there is one kv tile per row and it straddles the
-    # boundary, so no tile is ever mask-free; masking is not where the
-    # kernel's time goes (40.6 vs 40.2 ms fwd+bwd).
-    seg = (jnp.arange(n_pad) >= n_real).astype(jnp.int32)  # 0 real, 1 pad
-    segment_ids = splash.SegmentIds(q=seg, kv=seg)
-    mask = splash_mask.MultiHeadMask(
-        [splash_mask.FullMask((n_pad, n_pad)) for _ in range(H)]
-    )
+    if n_real < n_pad:
+        # Computed column mask (kv < n_real): evaluated from iota registers
+        # inside the kernel, no segment-id operands or mask loads. Step-level
+        # perf is identical to segment ids (998 ms) — mask APPLICATION is the
+        # cost (~3.7 ms/call fwd vs a mask-free FullMask run) and with
+        # block_kv=1792 every tile straddles the boundary, whatever the mask
+        # source. Only a custom kernel masking just the boundary sub-tiles
+        # could recover it. Pad q-rows attend the real tokens and produce
+        # finite garbage that downstream code ignores.
+        head_mask = _ColumnMask((n_pad, n_pad), n_real)
+    else:
+        head_mask = splash_mask.FullMask((n_pad, n_pad))
+    segment_ids = None
+    mask = splash_mask.MultiHeadMask([head_mask for _ in range(H)])
 
     # block sizes are probe-tunable (scripts/bench_probe.py): "bq,bkv,bkvc".
     # 896,1792,896 is the best of 15 swept configs at AST's n_pad=1792
@@ -239,6 +243,48 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     )
     out = jax.vmap(kernel, in_axes=(0, 0, 0, None))(q, k, v, segment_ids)
     return out[:, :, :N]
+
+
+_COLUMN_MASK_CLS = None
+
+
+def _ColumnMask(shape: tuple[int, int], bound: int):
+    """Splash mask allowing attention only to kv positions < bound.
+
+    Subclasses the lazy computed-mask base so the kernel evaluates
+    ``kv_ids < bound`` from iota registers instead of loading mask data or
+    segment ids from memory."""
+    global _COLUMN_MASK_CLS
+    if _COLUMN_MASK_CLS is None:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_mask as sm,
+        )
+
+        class ColumnMask(sm._ComputableMask):
+            def __init__(self, shape, bound, shard_count=1):
+                self.bound = bound
+
+                def column_mask_function(q_ids, kv_ids):
+                    return kv_ids < bound
+
+                super().__init__(
+                    shape=shape,
+                    mask_function=column_mask_function,
+                    shard_count=shard_count,
+                )
+
+            def __eq__(self, other):
+                return (
+                    isinstance(other, type(self))
+                    and self.shape == other.shape
+                    and self.bound == other.bound
+                )
+
+            def __hash__(self):
+                return hash((type(self), self.shape, self.bound))
+
+        _COLUMN_MASK_CLS = ColumnMask
+    return _COLUMN_MASK_CLS(shape, bound)
 
 
 def _flash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
