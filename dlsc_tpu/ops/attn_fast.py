@@ -1,0 +1,214 @@
+"""Shape-specialized flash-attention forward for the AST family.
+
+Measured at AST-Base shapes ((64, 12, 1792, 64) bf16, boundary 1646,
+pre-padded inputs): fwd 14.7 ms vs 16.1 for the generic splash forward,
+fwd+bwd 34.6 vs 36.9 — ~28 ms/step across the 12 encoder blocks. The
+generic forward pays for online-softmax rescaling passes and per-tile mask
+application it does not need at this shape. This kernel exploits two
+static facts:
+
+- the whole kv row (1792 x 64 bf16 per head = 229 KB) plus one f32
+  (block_q, 1792) logits tile fit comfortably in VMEM, so each q block does
+  a SINGLE flat softmax — one exp per element, one max pass, one sum pass,
+  no online rescaling;
+- the real/pad column boundary (``n_real``) is known at trace time, so
+  masking is one static iota-compare on the logits tile instead of the
+  generic mask/segment-id machinery.
+
+The backward reuses the library's fused splash dkv kernel (already near the
+dh=64 MXU ceiling) through a custom_vjp whose residuals — ``out`` and
+``logsumexp`` in splash's exact convention (natural log, pre-scaled q) —
+are tagged with ``checkpoint_name('attn_res')`` so the `attn_res` remat
+policy keeps them and the remat'd backward skips the forward recompute.
+
+reference: behavioral equivalent of torch.nn.MultiheadAttention used by
+src/models/ast_small.py:22 (full bidirectional MHA); numerics validated
+against the dense oracle in scripts/bench_probe.py:check_splash_correctness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def make_fast_mha(
+    num_heads: int,
+    seq_len: int,
+    head_dim: int,
+    n_real: int,
+    block_q: int,
+    block_kv_dkv: int,
+    block_kv_dkv_compute: int,
+    dtype_name: str,
+):
+    """Build the (H, N, dh) single-batch fast-MHA callable (vmap over B).
+
+    ``q`` must be pre-scaled by sm_scale (splash convention). Tokens at
+    positions >= n_real are masked as keys; pad q-rows produce finite
+    garbage the caller ignores.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as splash,
+    )
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as splash_mask,
+    )
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask_info as mask_info_lib,
+    )
+
+    H, N, dh, bq = num_heads, seq_len, head_dim, block_q
+    assert N % bq == 0, (N, bq)
+    assert bq % 128 == 0, bq  # lse output block: lane dim must be 128-aligned
+    while block_kv_dkv % block_kv_dkv_compute:  # dkv kernel constraint
+        block_kv_dkv_compute -= 128
+    dtype = jnp.dtype(dtype_name)
+    mask_value = splash.DEFAULT_MASK_VALUE
+
+    def fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        q = q_ref[0]  # (bq, dh)
+        k = k_ref[0]  # (N, dh)
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, N)
+        if n_real < N:  # static boundary -> one iota compare
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, mask_value)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, dh)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+        # lse emitted with an 8-sublane broadcast dim (TPU block tiling needs
+        # the second-to-last block dim divisible by 8); caller slices row 0
+        lse_ref[0] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :], (8, bq))
+
+    grid = (H, N // bq)
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dh), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((1, 8, bq), lambda h, i: (h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, dh), dtype),
+            jax.ShapeDtypeStruct((H, 8, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * N * dh * H,
+            bytes_accessed=(3 * N * dh * 2 + N * N * 4) * H,
+            transcendentals=N * N * H,
+        ),
+    )
+
+    # dkv-grid mask info for the library fused backward (mirrors what
+    # make_splash_mha builds; fused kernel -> shrink_grid=False)
+    if n_real < N:
+        head_mask = _column_mask(splash_mask, (N, N), n_real)
+    else:
+        head_mask = splash_mask.FullMask((N, N))
+    mask = splash_mask.MultiHeadMask([head_mask for _ in range(H)])
+    dkv_mask_info, mask_function_dkv = mask_info_lib.process_mask_dkv(
+        mask,
+        (bq, block_kv_dkv),
+        downcast_smem_data=True,
+        head_shards=1,
+        q_seq_shards=1,
+        shrink_grid=False,
+    )
+    # NB: keep MaskInfo leaves as numpy — this factory is lru_cached and may
+    # be first called inside a trace; jnp constants created there would leak
+    # tracers into later traces. Closed-over numpy embeds per-trace instead.
+
+    @jax.custom_vjp
+    def fast_mha(q, k, v):
+        out, _ = fwd_call(q, k, v)
+        return out
+
+    def fast_mha_fwd(q, k, v):
+        out, lse8 = fwd_call(q, k, v)
+        lse = lse8[:, 0, :]
+        out = checkpoint_name(out, "attn_res")
+        lse = checkpoint_name(lse, "attn_res")
+        return out, (q, k, v, out, lse)
+
+    def fast_mha_bwd(res, do):
+        q, k, v, out, lse = res
+        di = jnp.einsum(
+            "hsd,hsd->hs", out.astype(jnp.float32), do.astype(jnp.float32)
+        )
+        dq, dk, dv = splash._splash_attention_bwd_dkv(
+            q, k, v, None, None, lse, do, di,
+            bq=bq,
+            bkv=block_kv_dkv,
+            bkv_compute=block_kv_dkv_compute,
+            is_mqa=False,
+            mask_info=dkv_mask_info,
+            mask_value=mask_value,
+            attn_logits_soft_cap=None,
+            use_fused_bwd_kernel=True,
+            q_layout=splash.QKVLayout.HEAD_DIM_MINOR,
+            k_layout=splash.QKVLayout.HEAD_DIM_MINOR,
+            v_layout=splash.QKVLayout.HEAD_DIM_MINOR,
+            mask_function=mask_function_dkv,
+            interpret=False,
+        )
+        return dq, dk, dv
+
+    fast_mha.defvjp(fast_mha_fwd, fast_mha_bwd)
+    return fast_mha
+
+
+_COLUMN_MASK_CLS = None
+
+
+def _column_mask(splash_mask_mod, shape: tuple[int, int], bound: int):
+    """kv < bound computed mask (same class as dlsc_tpu.models.vit uses)."""
+    global _COLUMN_MASK_CLS
+    if _COLUMN_MASK_CLS is None:
+
+        class ColumnMask(splash_mask_mod._ComputableMask):
+            def __init__(self, shape, bound, shard_count=1):
+                self.bound = bound
+
+                def column_mask_function(q_ids, kv_ids):
+                    return kv_ids < bound
+
+                super().__init__(
+                    shape=shape,
+                    mask_function=column_mask_function,
+                    shard_count=shard_count,
+                )
+
+            def __eq__(self, other):
+                return (
+                    isinstance(other, type(self))
+                    and self.shape == other.shape
+                    and self.bound == other.bound
+                )
+
+            def __hash__(self):
+                return hash((type(self), self.shape, self.bound))
+
+        _COLUMN_MASK_CLS = ColumnMask
+    return _COLUMN_MASK_CLS(shape, bound)

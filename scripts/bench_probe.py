@@ -85,6 +85,10 @@ VARIANTS = {
                                      remat=True, remat_policy="full")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
+    # US8K shapes: 4-s clips -> ~1104 mel frames -> 1310 tokens, pad 1536
+    # (_fit clamps the default blocks to 768,1536,768)
+    "us8k_ast_b32": (32, dict()),
+    "us8k_ast_b64": (64, dict()),
     "default_b128": (128, dict()),
     "default_noscan_b64": (64, dict(scan_blocks=False)),
     "default_b96": (96, dict()),
@@ -110,8 +114,9 @@ def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> flo
     ))
     builder = ASTViTSmall if name.startswith("ast_small") else ASTModel
     model = builder(num_classes=50, **model_kw)
+    n_samples = 176_400 if name.startswith("us8k") else 220_500
     rng = np.random.default_rng(0)
-    wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
+    wave = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.3)
     labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
     feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
     variables = jax.jit(model.init, static_argnames=("train",))(
