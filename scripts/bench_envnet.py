@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""EnvNet-v2 / LEAF train-step probe on the real TPU.
+
+Round-1 measured EnvNet at 293 clips/s/chip fp32 (109 ms @ b32) — roughly
+28% of the fp32-decomposed MXU rate. The reference's guidance is "fp32
+(fp16 NaNs)" (configs/base_training.yaml:19-24), but that is a float16
+exponent-range problem; bf16 keeps f32's exponent, so a bf16-mixed EnvNet
+is numerically plausible and potentially ~2-3x. This probe measures both
+precisions (+ larger batches) and prints loss curves over a few steps so
+instability would be visible.
+
+    python scripts/bench_envnet.py [variant ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VARIANTS = {
+    # name: (model, batch, dtype)
+    "envnet_fp32_b32": ("envnet", 32, "float32"),
+    "envnet_bf16_b32": ("envnet", 32, "bfloat16"),
+    "envnet_fp32_b64": ("envnet", 64, "float32"),
+    "envnet_bf16_b64": ("envnet", 64, "bfloat16"),
+    "envnet_bf16_b128": ("envnet", 128, "bfloat16"),
+    "leaf_fp32_b32": ("leaf", 32, "float32"),
+    "leaf_bf16_b32": ("leaf", 32, "bfloat16"),
+}
+
+
+def run_variant(name: str, which: str, batch: int, dtype_name: str,
+                n_iters: int = 10) -> float | None:
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.train.losses import KLDivLoss
+    from dlsc_tpu.train.metrics import MetricState
+    from dlsc_tpu.train.optim import adam, build_optimizer, cosine_annealing
+    from dlsc_tpu.train.state import TrainState
+    from dlsc_tpu.train.steps import make_train_step
+
+    dtype = jnp.dtype(dtype_name)
+    if which == "envnet":
+        from dlsc_tpu.models.envnet_v2 import EnvNetV2
+
+        model = EnvNetV2(num_classes=50, dtype=dtype)
+    else:
+        from dlsc_tpu.models.leaf import LeafModel
+
+        model = LeafModel(num_classes=50, dtype=dtype)
+
+    pipe = DevicePipeline(PipelineConfig(
+        mode="envnet_v2", num_classes=50, enable_bc_mixing=True,
+        window_length=5.0, padding_ratio=0.5,
+    ))
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
+    labels = jnp.asarray(rng.integers(0, 50, batch).astype(np.int32))
+    feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False,
+    )
+    tx, _ = build_optimizer(adam(lr=1e-4, weight_decay=1e-4),
+                            cosine_annealing(T_max=100), 25, 1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx, rng=jax.random.key(0),
+    )
+    ms = MetricState.create(50)
+    step = jax.jit(make_train_step(pipe, KLDivLoss()), donate_argnums=(0, 1))
+    t_c = time.time()
+    state, ms, loss = step(state, ms, wave, labels)
+    l0 = float(jax.device_get(loss))
+    compile_s = time.time() - t_c
+    state, ms, loss = step(state, ms, wave, labels)
+    jax.device_get(loss)
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, ms, loss = step(state, ms, wave, labels)
+    lN = float(jax.device_get(loss))
+    dt = (time.time() - t0) / n_iters
+    clips = batch / dt
+    print(f"[env] {name}: {dt * 1e3:.0f} ms/step  {clips:.1f} clips/s "
+          f"(batch {batch}, compile {compile_s:.0f}s, "
+          f"loss {l0:.3f}->{lN:.3f} finite={np.isfinite(lN)})", flush=True)
+    return clips
+
+
+def main(argv: list[str]) -> None:
+    names = argv or list(VARIANTS)
+    results = {}
+    for name in names:
+        which, batch, dt = VARIANTS[name]
+        print(f"[env] building {name} ...", flush=True)
+        try:
+            results[name] = run_variant(name, which, batch, dt)
+        except Exception as e:
+            print(f"[env] {name} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            traceback.print_exc()
+            results[name] = None
+    print("\n[env] summary:")
+    for k, v in results.items():
+        print(f"  {k}: {v and round(v, 1)} clips/s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
