@@ -216,9 +216,20 @@ def test_timm_base_layout_roundtrip(base_params):
     # patch embed = channel mean, HWIO layout
     want = sd["patch_embed.proj.weight"].mean(axis=1, keepdims=True).transpose(2, 3, 1, 0)
     np.testing.assert_allclose(np.asarray(out["patch_embed"]["kernel"]), want)
-    # block 5 fc1 kernel transposed into the stacked scan layout
+    # block 5 fc1 kernel transposed into the unrolled layout (the AST-Base
+    # default since scan_blocks=False)
     np.testing.assert_allclose(
-        np.asarray(out["blocks"]["block"]["mlp"]["fc1"]["kernel"][5]),
+        np.asarray(out["blocks_5"]["mlp"]["fc1"]["kernel"]),
+        sd["blocks.5.mlp.fc1.weight"].T)
+    # ... and into the stacked scan layout (scan_blocks=True variant)
+    import dataclasses
+
+    model_scan = dataclasses.replace(model, scan_blocks=True)
+    params_scan = jax.jit(model_scan.init, static_argnames=("train",))(
+        jax.random.key(0), jnp.zeros((1, 128, 128)), train=False)["params"]
+    out_scan = load_torch_vit(params_scan, _deit_base_sd(), model_scan)
+    np.testing.assert_allclose(
+        np.asarray(out_scan["blocks"]["block"]["mlp"]["fc1"]["kernel"][5]),
         sd["blocks.5.mlp.fc1.weight"].T)
     # pos embed resized to the audio grid
     assert out["pos_embed"].shape == (1, 1 + model.grid_size[0] * model.grid_size[1], D_BASE)
