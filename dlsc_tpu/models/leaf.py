@@ -41,6 +41,10 @@ class GaborConv1d(nn.Module):
     min_freq: float = 60.0
     max_freq: float = 7800.0
     dtype: Any = jnp.float32
+    pool_stride: int = 0   # >0: return AvgPool(pool_stride)-downsampled energy
+                           # computed with the chunked streaming path (below)
+    chunk_size: int = 0    # samples per chunk when pool_stride > 0
+                           # (0 = pick ~27520, a multiple of pool_stride)
 
     @nn.compact
     def __call__(self, x):  # x: (B, T)
@@ -64,15 +68,52 @@ class GaborConv1d(nn.Module):
         real = jnp.cos(phase) * envelope * window          # (F, K)
         imag = jnp.sin(phase) * envelope * window
 
-        # conv1d, padding k//2 — NWC input, (K, 1, F) kernels
-        xin = x[:, :, None].astype(self.dtype)
         dn = ("NWC", "WIO", "NWC")
-        conv = lambda k: jax.lax.conv_general_dilated(  # noqa: E731
-            xin, k.T[:, None, :].astype(self.dtype), (1,), [(half, half)],
-            dimension_numbers=dn,
-        )
-        xr, xi = conv(real), conv(imag)
-        return xr**2 + xi**2                               # (B, T, F) energy
+        kr = real.T[:, None, :].astype(self.dtype)          # (K, 1, F)
+        ki = imag.T[:, None, :].astype(self.dtype)
+
+        if self.pool_stride <= 0:
+            xin = x[:, :, None].astype(self.dtype)
+            conv = lambda k: jax.lax.conv_general_dilated(  # noqa: E731
+                xin, k, (1,), [(half, half)], dimension_numbers=dn,
+            )
+            xr, xi = conv(kr), conv(ki)
+            return xr**2 + xi**2                           # (B, T, F) energy
+
+        # Streaming path: conv → |·|² → AvgPool(pool_stride) computed in
+        # time chunks under lax.map + jax.checkpoint. The full-length
+        # (B, T, F) energy tensor is (32, 220500, 186) ≈ 4.9 GB fp32 — the
+        # training backward holds several copies and OOMs HBM (measured:
+        # 20.3 GB HLO temp at batch 32). Chunking keeps per-chunk
+        # intermediates ~0.6 GB and the checkpointed map backward
+        # rematerializes them chunk by chunk. Numerically identical to the
+        # unchunked path: chunk starts are multiples of pool_stride, so
+        # every pooling window lands inside exactly one chunk.
+        B, T = x.shape
+        pool = self.pool_stride
+        chunk = self.chunk_size or (pool * max(27520 // pool, 1))
+        chunk -= chunk % pool
+        n_out = (T - pool) // pool + 1
+        m = chunk // pool                    # pooled outputs per chunk
+        n_chunks = -(-n_out // m)
+        xpad = jnp.pad(x, ((0, 0), (half, n_chunks * chunk + half - T)))
+        xpad = xpad.astype(self.dtype)
+
+        def body(c):
+            s = c * chunk
+            xin = jax.lax.dynamic_slice(
+                xpad, (0, s), (B, chunk + 2 * half))[:, :, None]
+            conv = lambda k: jax.lax.conv_general_dilated(  # noqa: E731
+                xin, k, (1,), [(0, 0)], dimension_numbers=dn,
+            )
+            xr, xi = conv(kr), conv(ki)
+            e = xr**2 + xi**2                              # (B, chunk, F)
+            e = e.reshape(B, m, pool, self.n_filters)
+            return e.mean(axis=2)                          # (B, m, F)
+
+        out = jax.lax.map(jax.checkpoint(body), jnp.arange(n_chunks))
+        out = out.transpose(1, 0, 2, 3).reshape(B, n_chunks * m, self.n_filters)
+        return out[:, :n_out]                              # (B, n_out, F)
 
 
 class PCEN(nn.Module):
@@ -105,10 +146,12 @@ class LeafModel(nn.Module):
     def __call__(self, x, train: bool = False):
         if x.ndim == 3:
             x = x[:, 0, :]
+        # Gabor energy + AvgPool(160), streamed in chunks (see GaborConv1d:
+        # the monolithic (B, T, F) energy tensor OOMs the training backward)
         x = GaborConv1d(
-            self.n_filters, self.kernel_size, self.sample_rate, dtype=self.dtype
-        )(x)                                               # (B, T, F)
-        x = nn.avg_pool(x, (160,), strides=(160,))          # (B, ~T/160, F)
+            self.n_filters, self.kernel_size, self.sample_rate,
+            dtype=self.dtype, pool_stride=160,
+        )(x)                                               # (B, ~T/160, F)
         x = PCEN(self.n_filters, dtype=self.dtype)(x)
 
         for feats, k, pool in ((256, 5, 4), (384, 3, 4), (512, 3, 2)):

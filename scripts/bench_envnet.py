@@ -41,7 +41,7 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
     import jax.numpy as jnp
 
     from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
-    from dlsc_tpu.train.losses import KLDivLoss
+    from dlsc_tpu.train.losses import CrossEntropyLoss, KLDivLoss
     from dlsc_tpu.train.metrics import MetricState
     from dlsc_tpu.train.optim import adam, build_optimizer, cosine_annealing
     from dlsc_tpu.train.state import TrainState
@@ -52,13 +52,17 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         from dlsc_tpu.models.envnet_v2 import EnvNetV2
 
         model = EnvNetV2(num_classes=50, dtype=dtype)
+        bc = True
     else:
         from dlsc_tpu.models.leaf import LeafModel
 
-        model = LeafModel(num_classes=50, dtype=dtype)
+        # match the shipped config (configs/model/leaf.yaml): 128 filters,
+        # no BC mixing
+        model = LeafModel(num_classes=50, n_filters=128, dtype=dtype)
+        bc = False
 
     pipe = DevicePipeline(PipelineConfig(
-        mode="envnet_v2", num_classes=50, enable_bc_mixing=True,
+        mode="envnet_v2", num_classes=50, enable_bc_mixing=bc,
         window_length=5.0, padding_ratio=0.5,
     ))
     rng = np.random.default_rng(0)
@@ -76,7 +80,8 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         batch_stats=variables.get("batch_stats"), tx=tx, rng=jax.random.key(0),
     )
     ms = MetricState.create(50)
-    step = jax.jit(make_train_step(pipe, KLDivLoss()), donate_argnums=(0, 1))
+    crit = KLDivLoss() if bc else CrossEntropyLoss()
+    step = jax.jit(make_train_step(pipe, crit), donate_argnums=(0, 1))
     t_c = time.time()
     state, ms, loss = step(state, ms, wave, labels)
     l0 = float(jax.device_get(loss))

@@ -92,6 +92,26 @@ def test_ast_pos_embed_sized_for_10s(key):
     assert out.shape == (1, 5)
 
 
+def test_gabor_streamed_pool_matches_monolithic(key):
+    """GaborConv1d's chunked conv+pool path (pool_stride>0) is numerically
+    the monolithic conv → nn.avg_pool composition (the streamed path exists
+    because the full-length energy tensor OOMs the training backward on
+    TPU at batch 32)."""
+    import flax.linen as nn
+
+    from dlsc_tpu.models.leaf import GaborConv1d
+
+    x = jax.random.normal(key, (2, 4000)) * 0.1
+    mono = GaborConv1d(n_filters=12, kernel_size=101, pool_stride=0)
+    v = mono.init(key, x)
+    ref = nn.avg_pool(mono.apply(v, x), (160,), strides=(160,))
+    streamed = GaborConv1d(n_filters=12, kernel_size=101, pool_stride=160,
+                           chunk_size=800)
+    out = streamed.apply(v, x)
+    assert out.shape == ref.shape
+    assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
 def test_leaf_contract(key):
     model = LeafModel(n_filters=32, kernel_size=101, num_classes=50)
     x = jax.random.normal(key, (2, 44100)) * 0.1
