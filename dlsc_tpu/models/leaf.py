@@ -92,7 +92,7 @@ class GaborConv1d(nn.Module):
         B, T = x.shape
         pool = self.pool_stride
         chunk = self.chunk_size or (pool * max(27520 // pool, 1))
-        chunk -= chunk % pool
+        chunk = max(chunk - chunk % pool, pool)  # ≥ one pool window
         n_out = (T - pool) // pool + 1
         m = chunk // pool                    # pooled outputs per chunk
         n_chunks = -(-n_out // m)

@@ -184,12 +184,19 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     q = q * sm_scale  # splash applies no softmax scale internally
     if n_real is None:
         n_real = N
-    if os.environ.get("DLSC_ATTN_FAST", "1") == "1":
+    splash_knobs_set = any(
+        os.environ.get(k)
+        for k in ("DLSC_SPLASH_BLOCKS", "DLSC_SPLASH_BWD_BLOCKS",
+                  "DLSC_SPLASH_UNFUSED", "DLSC_SPLASH_LAYOUT")
+    )
+    if os.environ.get("DLSC_ATTN_FAST", "1") == "1" and not splash_knobs_set:
         # Shape-specialized forward (single flat softmax per q block, static
         # boundary masking) + the library's fused dkv backward: 34.6 vs
         # 36.9 ms fwd+bwd per call at AST-Base shapes (see ops/attn_fast.py).
         # Falls back to the generic splash path when the f32 logits tile
-        # would not fit VMEM alongside k/v.
+        # would not fit VMEM alongside k/v — or when any DLSC_SPLASH_* tuning
+        # knob is set, so probe sweeps measure the generic kernel they
+        # configure rather than silently hitting this fixed config.
         bq_f = _fit_block(896, n_pad)
         if bq_f * n_pad * 4 <= 8 * 1024 * 1024:
             from dlsc_tpu.ops.attn_fast import make_fast_mha
@@ -264,47 +271,17 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     return out[:, :, :N]
 
 
-_COLUMN_MASK_CLS = None
-
-
 def _ColumnMask(shape: tuple[int, int], bound: int):
-    """Splash mask allowing attention only to kv positions < bound.
+    """Splash mask allowing attention only to kv positions < bound
+    (computed from iota in-kernel; shared implementation lives in
+    ops/attn_fast.py)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm,
+    )
 
-    Subclasses the lazy computed-mask base so the kernel evaluates
-    ``kv_ids < bound`` from iota registers instead of loading mask data or
-    segment ids from memory."""
-    global _COLUMN_MASK_CLS
-    if _COLUMN_MASK_CLS is None:
-        from jax.experimental.pallas.ops.tpu.splash_attention import (
-            splash_attention_mask as sm,
-        )
+    from dlsc_tpu.ops.attn_fast import _column_mask
 
-        class ColumnMask(sm._ComputableMask):
-            def __init__(self, shape, bound, shard_count=1):
-                self.bound = bound
-
-                def column_mask_function(q_ids, kv_ids):
-                    return kv_ids < bound
-
-                super().__init__(
-                    shape=shape,
-                    mask_function=column_mask_function,
-                    shard_count=shard_count,
-                )
-
-            def __eq__(self, other):
-                return (
-                    isinstance(other, type(self))
-                    and self.shape == other.shape
-                    and self.bound == other.bound
-                )
-
-            def __hash__(self):
-                return hash((type(self), self.shape, self.bound))
-
-        _COLUMN_MASK_CLS = ColumnMask
-    return _COLUMN_MASK_CLS(shape, bound)
-
+    return _column_mask(sm, shape, bound)
 
 def _flash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     """Pallas TPU flash attention with pad-to-block + segment-id masking.

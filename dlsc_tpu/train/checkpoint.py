@@ -56,13 +56,15 @@ class CheckpointManager:
         return tree
 
     def save(self, state, epoch: int, metrics: dict) -> Path | None:
-        if self.save_top_k <= 0:  # checkpointing disabled (save_top_k: 0)
+        if self.save_top_k == 0:  # checkpointing disabled (save_top_k: 0)
             return None
         value = float(metrics.get(self.monitor, float("nan")))
         if np.isnan(value):
             return None
+        # Lightning semantics: save_top_k=-1 keeps every checkpoint
         better = (
-            len(self._saved) < self.save_top_k
+            self.save_top_k < 0
+            or len(self._saved) < self.save_top_k
             or (self.mode == "max" and value > min(v for v, _ in self._saved))
             or (self.mode == "min" and value < max(v for v, _ in self._saved))
         )
@@ -81,7 +83,7 @@ class CheckpointManager:
         )
         self._saved.append((value, path))
         self._saved.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
-        while len(self._saved) > self.save_top_k:
+        while self.save_top_k > 0 and len(self._saved) > self.save_top_k:
             _, worst = self._saved.pop()
             shutil.rmtree(worst, ignore_errors=True)
         return path

@@ -248,7 +248,8 @@ class Trainer:
         datamodule.setup()
         nbytes = datamodule.pool_nbytes
         if nbytes > self.device_data_max_bytes:
-            if self.device_data is not True:  # 'auto' falls back silently
+            if self.device_data is True:  # explicit request: warn loudly;
+                # 'auto' falls back silently
                 print(f"[data] device-resident pool disabled: {nbytes / 1e9:.1f} GB "
                       f"exceeds cap {self.device_data_max_bytes / 1e9:.1f} GB")
             return
@@ -258,12 +259,26 @@ class Trainer:
             put = lambda a: jax.device_put(np.asarray(a), self.plan.replicated)
         else:
             put = lambda a: jax.device_put(np.asarray(a), jax.devices()[0])
-        self._pool_dev = jnp.concatenate([put(p) for p in parts], axis=0)
-        self._test_pool_dev = put(test_w)
-        jax.block_until_ready(self._test_pool_dev)
+        # Upload in ~64 MB chunks: the axon relay has a size cliff — a single
+        # 441 MB device_put transfers at ~2 MB/s while 55 MB chunks sustain
+        # ~48 MB/s (measured). Device-side concat of the chunks is one small
+        # cached program.
+        def put_chunked(arr) -> jnp.ndarray:
+            arr = np.asarray(arr)
+            rows = max(1, (64 << 20) // max(arr[0:1].nbytes, 1))
+            chunks = [put(arr[i:i + rows]) for i in range(0, len(arr), rows)]
+            return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+
+        self._pool_dev = put_chunked(np.concatenate(
+            [np.asarray(p) for p in parts], axis=0))
+        self._test_pool_dev = put_chunked(test_w)
+        # NO blocking sync here: the transfers overlap the first epoch's
+        # compile + steps (the relay's host->device rate is variable,
+        # 2-48 MB/s measured — waiting up front would serialize it).
         self._use_device_data = True
-        print(f"[data] device-resident pool: {nbytes / 1e6:.0f} MB uploaded "
-              f"in {time.time() - t0:.1f}s (per-step wire traffic: indices only)")
+        print(f"[data] device-resident pool: {nbytes / 1e6:.0f} MB dispatched "
+              f"in {time.time() - t0:.1f}s, transfer completes asynchronously "
+              "(per-step wire traffic: indices only)")
 
     def _step_args(self, batch, *, train: bool):
         """Map a host batch onto the compiled step's tail arguments."""
