@@ -201,9 +201,14 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
         if bq_f * n_pad * 4 <= 8 * 1024 * 1024:
             from dlsc_tpu.ops.attn_fast import make_fast_mha
 
+            # dkv backward blocks: 896-wide kv, NOT 1792 — the fused dkv
+            # kernel at bkv=1792 exceeds Mosaic's 16 MB scoped-VMEM limit in
+            # larger surrounding programs (the full Trainer step failed with
+            # an 18.15 MB scoped allocation while the bench-probe program
+            # compiled fine); 896 costs ~1.2 ms/call and always fits.
             kernel = make_fast_mha(
                 H, n_pad, dh, min(n_real, n_pad), bq_f,
-                _fit_block(1792, n_pad), _fit_block(896, n_pad), str(q.dtype),
+                _fit_block(896, n_pad), _fit_block(896, n_pad), str(q.dtype),
             )
             return jax.vmap(kernel)(q, k, v)[:, :, :N]
     if n_real < n_pad:
@@ -238,11 +243,14 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
         return bq, bkv, bkvc
 
     bq, bkv, bkvc = _triple(bq, bkv, bkvc)
-    # backward blocks default to the forward ones but tune independently
-    # (the fused dkv/dq kernel has different VMEM pressure than the fwd)
+    # backward blocks default to an 896-wide kv (NOT the forward's 1792):
+    # the fused dkv kernel at bkv=1792 can exceed Mosaic's 16 MB scoped-VMEM
+    # limit depending on the surrounding program (observed in the full
+    # Trainer step); 896 costs ~1.2 ms/call and always fits
     benv = os.environ.get("DLSC_SPLASH_BWD_BLOCKS")
     bq_b, bkv_b, bkvc_b = (
-        _triple(*(int(x) for x in benv.split(","))) if benv else (bq, bkv, bkvc)
+        _triple(*(int(x) for x in benv.split(",")))
+        if benv else _triple(bq, 896, min(bkvc, 896))
     )
     fused = os.environ.get("DLSC_SPLASH_UNFUSED") != "1"
     layout = (

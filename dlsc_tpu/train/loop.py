@@ -332,6 +332,32 @@ class Trainer:
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
         self._setup_device_data(datamodule)
         self._compile_steps(pipeline, criterion)
+        if self._use_device_data:
+            # Preflight AOT compile of the train step (no execution, no state
+            # mutation): the resident pool competes with model+activations for
+            # HBM — e.g. AST-Base @ b64 + the 1.06 GB ESC-50 pool exceeds a
+            # v5e's 15.75 GB by ~1.2 GB. On a capacity failure, degrade to
+            # host-streamed batches instead of crashing the run. The persistent
+            # compilation cache makes the successful re-compile on first step
+            # a cache hit.
+            bs = datamodule.batch_size
+            try:
+                self._train_step.lower(
+                    state, MT.MetricState.create(datamodule.num_classes),
+                    self._pool_dev,
+                    np.zeros((bs,), np.int32), np.zeros((bs,), np.int32),
+                ).compile()
+            except Exception as e:  # noqa: BLE001 — inspect and re-raise below
+                msg = str(e)
+                if "memory" in msg.lower() or "RESOURCE_EXHAUSTED" in msg:
+                    print("[data] device-resident pool + model exceed HBM; "
+                          "falling back to host-streamed batches")
+                    self._pool_dev = None
+                    self._test_pool_dev = None
+                    self._use_device_data = False
+                    self._compile_steps(pipeline, criterion)
+                else:
+                    raise
 
         ckpt_cfg = dict(checkpoint_cfg or {})
         dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)
