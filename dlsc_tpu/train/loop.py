@@ -39,6 +39,14 @@ from dlsc_tpu.train.state import TrainState
 from dlsc_tpu.train.steps import make_eval_step, make_train_step
 
 
+def _is_oom(e: Exception) -> bool:
+    """True if a (possibly remote-helper-wrapped) compile error is an HBM
+    capacity failure. The axon helper's OOM text says 'Ran out of memory in
+    memory space hbm'; direct PJRT raises RESOURCE_EXHAUSTED."""
+    msg = str(e)
+    return "memory" in msg.lower() or "RESOURCE_EXHAUSTED" in msg
+
+
 class EarlyStopping:
     """val-metric early stop (reference: callbacks.py:59-63)."""
 
@@ -291,6 +299,55 @@ class Trainer:
             args = args + (self._put(batch["mask"]),)
         return args
 
+    def _preflight_train_step(self, state, datamodule, pipeline, criterion):
+        """AOT-compile the train step before the epoch loop (no execution, no
+        state mutation) so HBM-capacity failures surface before work starts.
+
+        Two-stage degrade (SURVEY §5.3 failure tolerance): the resident pool
+        competes with model+activations for HBM — e.g. AST-Base @ b64 fp32 +
+        the 1.06 GB ESC-50 pool exceeds a v5e's 15.75 GB. On a capacity
+        failure drop the pool and retry host-streamed; if even that exceeds
+        HBM, raise with the actionable fixes (bf16-mixed / smaller batch)
+        instead of the remote helper's opaque first-step error. Only runs when
+        a device pool is active; the persistent compilation cache (enabled by
+        scripts/train.py) makes the successful probe's re-compile on the first
+        real step a cache hit.
+        """
+        if not self._use_device_data:
+            return
+        bs = datamodule.batch_size
+        ms = MT.MetricState.create(datamodule.num_classes)
+        labels = np.zeros((bs,), np.int32)
+        clip_t = int(self._pool_dev.shape[1])
+        try:
+            self._train_step.lower(
+                state, ms, self._pool_dev, np.zeros((bs,), np.int32), labels,
+            ).compile()
+            return
+        except Exception as e:  # noqa: BLE001 — classify and degrade below
+            if not _is_oom(e):
+                raise
+        print("[data] device-resident pool + model exceed HBM; "
+              "falling back to host-streamed batches")
+        self._pool_dev = None
+        self._test_pool_dev = None
+        self._use_device_data = False
+        self._compile_steps(pipeline, criterion)
+        try:
+            self._train_step.lower(
+                state, ms, np.zeros((bs, clip_t), np.float32), labels,
+            ).compile()
+        except Exception as e:  # noqa: BLE001
+            if not _is_oom(e):
+                raise
+            raise RuntimeError(
+                f"train step exceeds device HBM even without the "
+                f"device-resident pool (batch_size={bs}, "
+                f"precision={self.precision}). Reduce batch_size or use "
+                f"trainer.precision=bf16-mixed (the reference's own guidance "
+                f"for AST-class models, base_training.yaml:48)."
+            ) from e
+
     # -- fit -------------------------------------------------------------------
     def fit(
         self,
@@ -332,32 +389,7 @@ class Trainer:
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
         self._setup_device_data(datamodule)
         self._compile_steps(pipeline, criterion)
-        if self._use_device_data:
-            # Preflight AOT compile of the train step (no execution, no state
-            # mutation): the resident pool competes with model+activations for
-            # HBM — e.g. AST-Base @ b64 + the 1.06 GB ESC-50 pool exceeds a
-            # v5e's 15.75 GB by ~1.2 GB. On a capacity failure, degrade to
-            # host-streamed batches instead of crashing the run. The persistent
-            # compilation cache makes the successful re-compile on first step
-            # a cache hit.
-            bs = datamodule.batch_size
-            try:
-                self._train_step.lower(
-                    state, MT.MetricState.create(datamodule.num_classes),
-                    self._pool_dev,
-                    np.zeros((bs,), np.int32), np.zeros((bs,), np.int32),
-                ).compile()
-            except Exception as e:  # noqa: BLE001 — inspect and re-raise below
-                msg = str(e)
-                if "memory" in msg.lower() or "RESOURCE_EXHAUSTED" in msg:
-                    print("[data] device-resident pool + model exceed HBM; "
-                          "falling back to host-streamed batches")
-                    self._pool_dev = None
-                    self._test_pool_dev = None
-                    self._use_device_data = False
-                    self._compile_steps(pipeline, criterion)
-                else:
-                    raise
+        self._preflight_train_step(state, datamodule, pipeline, criterion)
 
         ckpt_cfg = dict(checkpoint_cfg or {})
         dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)

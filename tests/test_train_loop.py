@@ -278,6 +278,40 @@ def test_device_resident_matches_host_path(dm_root):
                                rtol=1e-5)
 
 
+def test_preflight_hbm_fallback(dm_root, monkeypatch):
+    """When the device-resident train step fails the preflight compile with
+    an HBM-capacity error, the Trainer must drop the pool, recompile the
+    host-streamed step, and complete training (SURVEY §5.3 graceful
+    degradation; observed on TPU: AST-Base @ b64 fp32 + ESC-50 pool)."""
+    orig = Trainer._compile_steps
+
+    def patched(self, pipeline, criterion):
+        orig(self, pipeline, criterion)
+        if getattr(self, "_use_device_data", False):
+            real = self._train_step
+
+            class _OOMOnLower:
+                def lower(self, *a, **k):
+                    raise RuntimeError(
+                        "XLA:TPU compile permanent error. Ran out of memory "
+                        "in memory space hbm. Used 16.99G of 15.75G hbm.")
+
+                def __call__(self, *a, **k):
+                    return real(*a, **k)
+
+            self._train_step = _OOMOnLower()
+
+    monkeypatch.setattr(Trainer, "_compile_steps", patched)
+    dm = _dm(dm_root)
+    trainer = Trainer(max_epochs=1, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0, devices=1,
+                      device_data=True)
+    trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+    assert trainer._use_device_data is False
+    assert trainer._pool_dev is None
+    assert "train/acc" in trainer.logged_metrics
+
+
 def test_device_resident_pool_cap(dm_root):
     """'auto' must fall back to the host path when the pool exceeds the cap."""
     dm = _dm(dm_root)
