@@ -156,6 +156,16 @@ def _fit_block(b: int, n_pad: int) -> int:
     return max(b, 128)
 
 
+def _dkv_bkv_default(dtype) -> int:
+    """Default kv-block width for the fused dkv backward kernel.
+
+    Its scoped-VMEM footprint scales with element width: bkv=1792 fits
+    Mosaic's 16 MB budget in bf16 but overflows it in f32 (observed:
+    18.15 MB scoped allocation in the fp32 AST-Base Trainer step), where
+    the 896 block always compiles at ~1.2 ms/call extra cost."""
+    return 1792 if jnp.dtype(dtype).itemsize <= 2 else 896
+
+
 def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     """Splash attention (the newer TPU Pallas MHA kernel) with pad-to-block +
     segment-id masking: padding tokens form their own segment so they never
@@ -201,14 +211,16 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
         if bq_f * n_pad * 4 <= 8 * 1024 * 1024:
             from dlsc_tpu.ops.attn_fast import make_fast_mha
 
-            # dkv backward blocks: 896-wide kv, NOT 1792 — the fused dkv
-            # kernel at bkv=1792 exceeds Mosaic's 16 MB scoped-VMEM limit in
-            # larger surrounding programs (the full Trainer step failed with
-            # an 18.15 MB scoped allocation while the bench-probe program
-            # compiled fine); 896 costs ~1.2 ms/call and always fits.
+            # dkv backward kv block: dtype-dependent. The fused dkv kernel's
+            # scoped-VMEM demand scales with element width — bkv=1792 fits
+            # the 16 MB budget in bf16 (bench/probe/e2e all compile) but
+            # overflows it in f32 (observed 18.15 MB scoped allocation in
+            # the fp32 Trainer step), where 896 always fits (~1.2 ms/call
+            # slower in bf16 terms).
             kernel = make_fast_mha(
                 H, n_pad, dh, min(n_real, n_pad), bq_f,
-                _fit_block(896, n_pad), _fit_block(896, n_pad), str(q.dtype),
+                _fit_block(_dkv_bkv_default(q.dtype), n_pad),
+                _fit_block(896, n_pad), str(q.dtype),
             )
             return jax.vmap(kernel)(q, k, v)[:, :, :N]
     if n_real < n_pad:
@@ -243,14 +255,13 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
         return bq, bkv, bkvc
 
     bq, bkv, bkvc = _triple(bq, bkv, bkvc)
-    # backward blocks default to an 896-wide kv (NOT the forward's 1792):
-    # the fused dkv kernel at bkv=1792 can exceed Mosaic's 16 MB scoped-VMEM
-    # limit depending on the surrounding program (observed in the full
-    # Trainer step); 896 costs ~1.2 ms/call and always fits
+    # backward kv block defaults by dtype (see _dkv_bkv_default): 1792 in
+    # bf16, 896 in f32 where the wider block overflows scoped VMEM
     benv = os.environ.get("DLSC_SPLASH_BWD_BLOCKS")
     bq_b, bkv_b, bkvc_b = (
         _triple(*(int(x) for x in benv.split(",")))
-        if benv else _triple(bq, 896, min(bkvc, 896))
+        if benv
+        else _triple(bq, _dkv_bkv_default(q.dtype), min(bkvc, 896))
     )
     fused = os.environ.get("DLSC_SPLASH_UNFUSED") != "1"
     layout = (
