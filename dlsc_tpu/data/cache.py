@@ -102,6 +102,7 @@ class FeatureCache:
             with self._lock:
                 self.stats.errors += 1
             path.unlink(missing_ok=True)  # degrade to recompute (ref :272-310)
+            path.with_suffix(".json").unlink(missing_ok=True)  # no orphan sidecar
             return None
 
     def put(self, key: str, features: np.ndarray, meta: dict | None = None) -> None:

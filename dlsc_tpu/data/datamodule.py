@@ -35,7 +35,12 @@ class Batch(dict):
     """dict with attribute access: keys wave (B,T) f32, label (B,) i32,
     mask (B,) bool (False for padding rows in the final eval batch)."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            # AttributeError keeps getattr(b, k, default)/hasattr working
+            raise AttributeError(name) from None
 
 
 class FoldDataModule:

@@ -146,17 +146,18 @@ class Study:
         self._conn.execute("PRAGMA journal_mode=WAL")
         self._conn.execute("PRAGMA busy_timeout=30000")
         self._conn.executescript(_SCHEMA)
-        row = self._conn.execute(
-            "SELECT study_id FROM studies WHERE study_name=?", (study_name,)
-        ).fetchone()
-        if row and not load_if_exists:
-            raise ValueError(f"study {study_name!r} already exists")
-        # race-safe create-or-resume: two processes may both reach here
-        self._conn.execute(
+        # race-safe exclusive create: INSERT OR IGNORE is the atomic
+        # exists-check — rowcount 1 means this process created the study,
+        # 0 means it already existed (possibly created a microsecond ago by
+        # a concurrent process; a separate SELECT-then-INSERT would let both
+        # creators silently succeed)
+        created = self._conn.execute(
             "INSERT OR IGNORE INTO studies (study_name, direction, created)"
             " VALUES (?,?,?)",
             (study_name, direction, time.time()),
-        )
+        ).rowcount == 1
+        if not created and not load_if_exists:
+            raise ValueError(f"study {study_name!r} already exists")
         self._id, self.direction = self._conn.execute(
             "SELECT study_id, direction FROM studies WHERE study_name=?",
             (study_name,),

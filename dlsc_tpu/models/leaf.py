@@ -96,7 +96,11 @@ class GaborConv1d(nn.Module):
         n_out = (T - pool) // pool + 1
         m = chunk // pool                    # pooled outputs per chunk
         n_chunks = -(-n_out // m)
-        xpad = jnp.pad(x, ((0, 0), (half, n_chunks * chunk + half - T)))
+        # right pad can go negative when T mod pool leaves a partial window
+        # (n_out excludes it, so n_chunks*chunk < T is possible); clamp to 0
+        # — the surplus real samples land in pooled outputs beyond n_out,
+        # which the final slice drops
+        xpad = jnp.pad(x, ((0, 0), (half, max(n_chunks * chunk + half - T, 0))))
         xpad = xpad.astype(self.dtype)
 
         def body(c):

@@ -197,7 +197,8 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     splash_knobs_set = any(
         os.environ.get(k)
         for k in ("DLSC_SPLASH_BLOCKS", "DLSC_SPLASH_BWD_BLOCKS",
-                  "DLSC_SPLASH_UNFUSED", "DLSC_SPLASH_LAYOUT")
+                  "DLSC_SPLASH_UNFUSED", "DLSC_SPLASH_LAYOUT",
+                  "DLSC_SPLASH_PAD")
     )
     if os.environ.get("DLSC_ATTN_FAST", "1") == "1" and not splash_knobs_set:
         # Shape-specialized forward (single flat softmax per q block, static

@@ -41,10 +41,15 @@ from dlsc_tpu.train.steps import make_eval_step, make_train_step
 
 def _is_oom(e: Exception) -> bool:
     """True if a (possibly remote-helper-wrapped) compile error is an HBM
-    capacity failure. The axon helper's OOM text says 'Ran out of memory in
-    memory space hbm'; direct PJRT raises RESOURCE_EXHAUSTED."""
+    *capacity* failure. Match the specific texts — the axon helper's dump
+    says 'Ran out of memory in memory space hbm' / 'Exceeded hbm capacity';
+    direct PJRT raises RESOURCE_EXHAUSTED. A bare substring like 'memory'
+    would misroute non-capacity kernel errors (e.g. Mosaic scoped-VMEM
+    overflows) into the degrade path and mask the real bug."""
     msg = str(e)
-    return "memory" in msg.lower() or "RESOURCE_EXHAUSTED" in msg
+    return ("memory space hbm" in msg
+            or "Exceeded hbm capacity" in msg
+            or "RESOURCE_EXHAUSTED" in msg)
 
 
 class EarlyStopping:
@@ -271,15 +276,19 @@ class Trainer:
         # 441 MB device_put transfers at ~2 MB/s while 55 MB chunks sustain
         # ~48 MB/s (measured). Device-side concat of the chunks is one small
         # cached program.
-        def put_chunked(arr) -> jnp.ndarray:
-            arr = np.asarray(arr)
-            rows = max(1, (64 << 20) // max(arr[0:1].nbytes, 1))
-            chunks = [put(arr[i:i + rows]) for i in range(0, len(arr), rows)]
+        def put_chunked(arrs) -> jnp.ndarray:
+            # accepts the per-fold parts directly: each (mmap'd) part is
+            # sliced and uploaded chunk by chunk, so the full pool is never
+            # materialized in host RAM (the single device-side concat below
+            # is one small cached program)
+            chunks = []
+            for arr in arrs:
+                rows = max(1, (64 << 20) // max(arr[0:1].nbytes, 1))
+                chunks += [put(arr[i:i + rows]) for i in range(0, len(arr), rows)]
             return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
 
-        self._pool_dev = put_chunked(np.concatenate(
-            [np.asarray(p) for p in parts], axis=0))
-        self._test_pool_dev = put_chunked(test_w)
+        self._pool_dev = put_chunked(parts)
+        self._test_pool_dev = put_chunked([test_w])
         # NO blocking sync here: the transfers overlap the first epoch's
         # compile + steps (the relay's host->device rate is variable,
         # 2-48 MB/s measured — waiting up front would serialize it).
@@ -318,7 +327,10 @@ class Trainer:
         bs = datamodule.batch_size
         ms = MT.MetricState.create(datamodule.num_classes)
         labels = np.zeros((bs,), np.int32)
+        # the host-streamed probe must match the real wire signature: shards
+        # stream in their storage dtype (int16 by default — pipeline.py:86)
         clip_t = int(self._pool_dev.shape[1])
+        wire_dtype = np.dtype(self._pool_dev.dtype)
         try:
             self._train_step.lower(
                 state, ms, self._pool_dev, np.zeros((bs,), np.int32), labels,
@@ -335,7 +347,7 @@ class Trainer:
         self._compile_steps(pipeline, criterion)
         try:
             self._train_step.lower(
-                state, ms, np.zeros((bs, clip_t), np.float32), labels,
+                state, ms, np.zeros((bs, clip_t), wire_dtype), labels,
             ).compile()
         except Exception as e:  # noqa: BLE001
             if not _is_oom(e):

@@ -111,6 +111,14 @@ def test_gabor_streamed_pool_matches_monolithic(key):
     assert out.shape == ref.shape
     assert float(jnp.abs(out - ref).max()) < 1e-5
 
+    # T=4150: (T mod pool) = 150 > half = 50, so n_chunks*chunk < T and the
+    # naive right-pad width goes negative (regression: jnp.pad ValueError)
+    x2 = jax.random.normal(key, (2, 4150)) * 0.1
+    ref2 = nn.avg_pool(mono.apply(v, x2), (160,), strides=(160,))
+    out2 = streamed.apply(v, x2)
+    assert out2.shape == ref2.shape
+    assert float(jnp.abs(out2 - ref2).max()) < 1e-5
+
 
 def test_leaf_contract(key):
     model = LeafModel(n_filters=32, kernel_size=101, num_classes=50)
