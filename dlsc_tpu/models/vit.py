@@ -366,15 +366,29 @@ class Block(nn.Module):
     use_flash: bool = True
     attn_impl: str = "splash"
     n_real: int | None = None   # see Attention.n_real
+    token_sharding: Any = None  # sequence parallelism: a NamedSharding for
+                                # the (B, N, D) residual stream (tokens over
+                                # the 'model' axis). With Megatron-style TP
+                                # param shardings (parallel/tp.py), GSPMD
+                                # turns the two per-block all-reduces into
+                                # reduce-scatter + all-gather pairs and the
+                                # LN/dropout/residual work runs token-sharded.
+
+    def _sp(self, x):
+        if self.token_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.token_sharding)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = self._sp(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.attn_dropout,
-                          self.dtype, self.use_flash, self.attn_impl,
-                          self.n_real, name="attn")(y, train)
+        x = self._sp(x + Attention(self.dim, self.num_heads, self.attn_dropout,
+                                   self.dtype, self.use_flash, self.attn_impl,
+                                   self.n_real, name="attn")(y, train))
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(self.dim, self.mlp_ratio, self.dropout, self.dtype, name="mlp")(y, train)
+        x = self._sp(x + Mlp(self.dim, self.mlp_ratio, self.dropout,
+                             self.dtype, name="mlp")(y, train))
         return x
 
 
@@ -390,12 +404,14 @@ class _ScanBlock(nn.Module):
     use_flash: bool = True
     attn_impl: str = "splash"
     n_real: int | None = None
+    token_sharding: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
-                  self.attn_impl, self.n_real, name="block")(x, train)
+                  self.attn_impl, self.n_real, self.token_sharding,
+                  name="block")(x, train)
         return x, None
 
 
@@ -436,6 +452,9 @@ class ASTViT(nn.Module):
     attn_impl: str = "splash"  # 'splash' | 'flash' | 'dense'
     scan_blocks: bool = True   # lax.scan over blocks: ~depth× smaller HLO
                                # (compile time), stacked block params
+    token_sharding: Any = None # sequence parallelism (see Block): NamedSharding
+                               # for the residual stream, e.g.
+                               # NamedSharding(mesh, P('data', 'model', None))
     encoder_pad: bool = True   # pad tokens to the kernel grain once for the
                                # whole encoder (TPU flash paths only) instead
                                # of per-block — see __call__
@@ -547,7 +566,8 @@ class ASTViT(nn.Module):
             )(self.emb_dim, self.num_heads, dropout=self.dropout,
               attn_dropout=self.attn_dropout, dtype=self.dtype,
               use_flash=self.use_flash, attn_impl=self.attn_impl,
-              n_real=n_real, name="blocks")
+              n_real=n_real, token_sharding=self.token_sharding,
+              name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
@@ -556,7 +576,8 @@ class ASTViT(nn.Module):
                     self.emb_dim, self.num_heads, dropout=self.dropout,
                     attn_dropout=self.attn_dropout, dtype=self.dtype,
                     use_flash=self.use_flash, attn_impl=self.attn_impl,
-                    n_real=n_real, name=f"blocks_{i}",
+                    n_real=n_real, token_sharding=self.token_sharding,
+                    name=f"blocks_{i}",
                 )(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(

@@ -155,6 +155,63 @@ def test_dp_tp_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_sp_tp_matches_single_device():
+    """Sequence parallelism (token-sharded residual stream via
+    ASTViT.token_sharding) composed with Megatron TP param shardings: one
+    train step on a data=2 x model=4 mesh must reproduce single-device
+    numerics — the with_sharding_constraint is a layout directive, not math."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlsc_tpu.models.vit import ASTViT
+    from dlsc_tpu.parallel.tp import vit_param_shardings
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=10,
+                                         use_pallas=False))
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((16, 8000)).astype(np.float32) * 0.3)
+    labels = jnp.asarray((np.arange(16) % 10).astype(np.int32))
+
+    def run(sp: bool) -> float:
+        if sp:
+            plan = MeshPlan(get_mesh(8, model_parallel=4))
+            tok = NamedSharding(plan.mesh, P("data", "model", None))
+        else:
+            plan, tok = None, None
+        model = ASTViT(num_classes=10, emb_dim=64, depth=2, num_heads=2,
+                       patch_stride=16, overlap=0, dropout=0.0,
+                       dtype=jnp.float32, token_sharding=tok)
+        feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2],
+                                             jax.random.key(0))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            feats, train=False)
+        tx, _ = build_optimizer(adam(lr=1e-3), None, 4, 1.0)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"), tx=tx,
+            rng=jax.random.key(0))
+        ms = MetricState.create(10)
+        step = make_train_step(pipe, CrossEntropyLoss())
+        if sp:
+            param_sh = vit_param_shardings(state.params, plan.mesh)
+            state = state.replace(params=jax.tree_util.tree_map(
+                jax.device_put, state.params, param_sh))
+            step = jax.jit(step, in_shardings=(
+                None, plan.replicated, plan.batch, plan.batch))
+            ms = jax.device_put(ms, plan.replicated)
+            w, y = (jax.device_put(wave, plan.batch),
+                    jax.device_put(labels, plan.batch))
+        else:
+            step, w, y = jax.jit(step), wave, labels
+        state, ms, loss = step(state, ms, w, y)
+        return float(loss)
+
+    np.testing.assert_allclose(run(False), run(True), rtol=2e-5)
+
+
 def test_tp_sharding_rules():
     from dlsc_tpu.models.vit import ASTViT
     from dlsc_tpu.parallel.tp import vit_param_shardings
