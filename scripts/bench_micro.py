@@ -107,6 +107,28 @@ def main(which: list[str]) -> None:
         print(f"[micro]   splash: {gf / dt / 1e3:.1f} TF/s of padded-shape flops",
               flush=True)
 
+    if "fast_grad" in which:
+        # the DEFAULT production attention path (no env knobs): fast forward
+        # kernel + dtype-selected fused dkv backward, on encoder-pre-padded
+        # inputs exactly as the unrolled AST-Base step runs it
+        from dlsc_tpu.models.vit import _splash_mha
+
+        n_pad, n_real = 1792, 1646
+        q, k, v = (jnp.asarray(rng.standard_normal((B, H, n_pad, DH)) * 0.1,
+                               jnp.bfloat16) for _ in range(3))
+
+        def g(q, k, v):
+            def f(q, k, v):
+                o = _splash_mha(q, k, v, sm_scale=DH**-0.5, n_real=n_real)
+                return jnp.sum((o.astype(jnp.float32)) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        dt = _time(jax.jit(g), q, k, v,
+                   label=f"fast-path attn fwd+bwd ({B},{H},{n_pad},{DH})")
+        gf = 2 * 2 * B * H * n_pad * n_pad * DH * (1 + 2.5) / 1e9
+        print(f"[micro]   fast fwd+bwd: {gf / dt / 1e3:.1f} TF/s of "
+              "padded-shape flops (fwd + 2.5x bwd)", flush=True)
+
     if "splash_sweep" in which:
         import os
 
