@@ -27,8 +27,11 @@ def ASTViTSmall(
     dtype: Any = jnp.bfloat16,
     attn_impl: str = "splash",
     attn_dropout: float = 0.0,
-    remat: bool = False,
-    remat_policy: str = "full",
+    remat: bool = True,              # without remat the scan-stacked saved
+    remat_policy: str = "attn_res",  # activations reach ~10 GB at b64 bf16
+                                     # and the train step OOMs HBM (measured);
+                                     # attn_res matches the bench_probe
+                                     # ast_small_splash_b64 configuration
 ) -> ASTViT:
     return ASTViT(
         num_classes=num_classes,

@@ -352,12 +352,17 @@ class Trainer:
         except Exception as e:  # noqa: BLE001
             if not _is_oom(e):
                 raise
+            hint = (
+                "Reduce batch_size."
+                if self.precision != "32"
+                else "Reduce batch_size or use trainer.precision=bf16-mixed "
+                     "(the reference's own guidance for AST-class models, "
+                     "base_training.yaml:48)."
+            )
             raise RuntimeError(
                 f"train step exceeds device HBM even without the "
                 f"device-resident pool (batch_size={bs}, "
-                f"precision={self.precision}). Reduce batch_size or use "
-                f"trainer.precision=bf16-mixed (the reference's own guidance "
-                f"for AST-class models, base_training.yaml:48)."
+                f"precision={self.precision}). {hint}"
             ) from e
 
     # -- fit -------------------------------------------------------------------
