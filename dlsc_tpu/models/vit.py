@@ -471,8 +471,15 @@ class ASTViT(nn.Module):
             (self.t_dim - self.patch_size) // step + 1,
         )
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def embed(self, x):
+        """Patch-embed + cls/pos-embed + (TPU) encoder-wide padding — the
+        stretch of ``__call__`` before the block stack. Reachable from apply
+        via ``model.apply(vars, x, part='embed')`` (``__call__`` stays the
+        single compact method; unused params are simply not touched) so the
+        pipeline-parallel runner (dlsc_tpu.parallel.pp) can reuse it without
+        duplicating the token math. Returns ``(tokens, n_real)`` where
+        ``n_real`` is the true token count when padding was applied (else
+        None)."""
         # The pos-embed grid is derived from (patch_size - overlap) while the
         # conv uses patch_stride; the reference keeps them equal in every
         # config (ast.yaml stride 10 / overlap 6; ast_small.yaml 16 / 0) and
@@ -529,6 +536,31 @@ class ASTViT(nn.Module):
             if n_pad != n_tok:
                 x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
                 n_real = n_tok
+        return x, n_real
+
+    def finalize(self, x):
+        """Final LayerNorm + CLS head (+ the reference's sigmoid quirk,
+        src/models/ast.py:63) — the stretch of ``__call__`` after the block
+        stack, exposed for the pipeline-parallel runner."""
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
+            x[:, 0].astype(jnp.float32)
+        )
+        return nn.sigmoid(logits) if self.sigmoid_head else logits
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, part: str = "all"):
+        # ``part`` exposes the embed / finalize stretches to external callers
+        # (the pipeline-parallel runner) without a second compact method:
+        # 'embed' → (tokens, n_real); 'finalize' → logits from a token
+        # matrix; 'all' → the full forward. init() must use part='all'.
+        if part == "embed":
+            return self.embed(x)
+        if part == "finalize":
+            return self.finalize(x)
+        if part != "all":
+            raise ValueError(f"unknown part {part!r}")
+        x, n_real = self.embed(x)
 
         remat_kw = {"static_argnums": (2,)}
         if self.remat_policy == "dots":
@@ -579,8 +611,4 @@ class ASTViT(nn.Module):
                     n_real=n_real, token_sharding=self.token_sharding,
                     name=f"blocks_{i}",
                 )(x, train)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
-            x[:, 0].astype(jnp.float32)
-        )
-        return nn.sigmoid(logits) if self.sigmoid_head else logits
+        return self.finalize(x)

@@ -8,5 +8,15 @@ from dlsc_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from dlsc_tpu.parallel.pp import get_pp_mesh, pipeline_blocks, vit_apply_pp
 
-__all__ = ["MeshPlan", "get_mesh", "make_plan", "shard_batch", "replicate"]
+__all__ = [
+    "MeshPlan",
+    "get_mesh",
+    "make_plan",
+    "shard_batch",
+    "replicate",
+    "get_pp_mesh",
+    "pipeline_blocks",
+    "vit_apply_pp",
+]

@@ -1,0 +1,204 @@
+"""Pipeline parallelism for the ViT encoder (GPipe-style, shard_map + ppermute).
+
+The reference has no distributed layer at all (SURVEY.md §2.7); dp/tp/sp live
+in dlsc_tpu.parallel.{mesh,tp}. This module adds the remaining classic
+parallelism axis: the depth-stacked encoder blocks (the scan layout,
+models/vit.py ``scan_blocks=True`` — every block param carries a leading
+depth axis) are sharded over a 'stage' mesh axis and microbatches stream
+through the stages with ``jax.lax.ppermute`` hops over ICI.
+
+Design (hybrid GSPMD + manual SPMD):
+
+- embed (patch conv + pos embed) and finalize (norm + head) are tiny; they
+  run *outside* the pipeline as ordinary GSPMD code — replicated over
+  'stage', batch-sharded over 'data'.
+- the block stack runs inside one ``shard_map``: each stage holds
+  ``depth / n_stages`` blocks' params (leading depth dim sharded with
+  ``P('stage')``) and applies them with ``lax.scan``; activations hop
+  stage→stage via ``ppermute``. The schedule is plain GPipe over
+  ``n_micro + n_stages - 1`` ticks — during fill/drain every stage still
+  computes (SPMD requires it) and the garbage results are masked at the
+  output buffer. Bubble fraction = (S-1)/(n_micro+S-1).
+- the last stage's collected outputs are replicated with one ``psum`` over
+  'stage' (valid-stage-masked), so callers see an ordinary (B, N, D) array.
+
+Differentiable end-to-end: ppermute/psum/scan all transpose cleanly, so
+``jax.grad`` through the pipelined forward yields exactly the sequential
+gradients (asserted in tests/test_pp.py on the 8-device CPU mesh).
+
+Composes with data parallelism on a ('data', 'stage') mesh. Not composed
+with TP/SP (those shard *within* a block over 'model'); a 3-D mesh would
+need per-block GSPMD inside the shard_map body, which JAX does not currently
+allow — documented limitation, matching how dp×tp×sp is already the
+standard configuration (parallel/tp.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 exports shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+# the replication-check kwarg was renamed (check_rep → check_vma) across jax
+# versions; the pipeline's masked-psum output pattern needs it off either way
+import inspect as _inspect
+
+_SM_PARAMS = _inspect.signature(shard_map).parameters
+_SM_KW = (
+    {"check_rep": False} if "check_rep" in _SM_PARAMS
+    else {"check_vma": False} if "check_vma" in _SM_PARAMS
+    else {}
+)
+
+
+def get_pp_mesh(
+    n_devices: int | None = None, n_stages: int = 2, devices=None
+) -> Mesh:
+    """('data', 'stage') mesh: batch axis × pipeline axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % n_stages:
+        raise ValueError(f"{n} devices not divisible by n_stages={n_stages}")
+    arr = np.asarray(devices).reshape(n // n_stages, n_stages)
+    return Mesh(arr, ("data", "stage"))
+
+
+def pipeline_blocks(
+    apply_block: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "stage",
+    data_axis: str = "data",
+) -> jax.Array:
+    """Apply ``depth`` stacked blocks to ``x`` pipelined over ``axis``.
+
+    apply_block(params_one_layer, h) -> h applies a single block; it runs
+    inside shard_map, so it must not itself use GSPMD shardings.
+    stacked_params: pytree whose leaves have a leading ``depth`` axis (the
+    nn.scan layout). x: (B, N, D) with B sharded over ``data_axis``.
+    """
+    n_stages = int(mesh.shape[axis])
+    n_data = int(mesh.shape[data_axis])
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    B = x.shape[0]
+    if B % (n_data * n_micro):
+        raise ValueError(
+            f"batch {B} must be divisible by data axis ({n_data}) × "
+            f"n_micro ({n_micro})"
+        )
+
+    param_spec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    x_spec = P(data_axis)  # batch over 'data', replicated over 'stage'
+
+    def body(params_local, x_local):
+        S = n_stages
+        stage = jax.lax.axis_index(axis)
+        Bl = x_local.shape[0]
+        mb = Bl // n_micro
+        xm = x_local.reshape(n_micro, mb, *x_local.shape[1:])
+
+        def run_stage(h):
+            def one(h, p):
+                return apply_block(p, h), None
+
+            h, _ = jax.lax.scan(one, h, params_local)
+            return h
+
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(carry, t):
+            recv, ybuf = carry
+            # stage 0 feeds fresh microbatches (clipped re-reads during
+            # drain are computed and discarded); later stages consume the
+            # previous tick's ppermute.
+            first = jax.lax.dynamic_index_in_dim(
+                xm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+            )
+            inp = jnp.where(stage == 0, first, recv)
+            out = run_stage(inp)
+            # the last stage finishes microbatch m = t - (S-1) at tick t;
+            # fill ticks (m < 0) rewrite the existing slot with itself.
+            m = t - (S - 1)
+            mclip = jnp.clip(m, 0, n_micro - 1)
+            prev = jax.lax.dynamic_index_in_dim(ybuf, mclip, 0, keepdims=False)
+            write = jnp.where(m >= 0, out, prev)
+            ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, write, mclip, 0)
+            recv = jax.lax.ppermute(out, axis, perm)
+            return (recv, ybuf), None
+
+        carry = (jnp.zeros_like(xm[0]), jnp.zeros_like(xm))
+        (recv, ybuf), _ = jax.lax.scan(
+            tick, carry, jnp.arange(n_micro + S - 1)
+        )
+        # only the last stage holds real outputs → mask + psum replicates
+        y = jnp.where(stage == S - 1, ybuf, jnp.zeros_like(ybuf))
+        y = jax.lax.psum(y, axis)
+        return y.reshape(Bl, *x_local.shape[1:])
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(param_spec, x_spec),
+        out_specs=x_spec,
+        **_SM_KW,
+    )
+    return fn(stacked_params, x)
+
+
+def vit_apply_pp(
+    model,
+    variables: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    train: bool = False,
+) -> jax.Array:
+    """Full ASTViT forward with the encoder pipelined over the 'stage' axis.
+
+    ``model`` must use the scan (stacked) block layout (``scan_blocks=True``)
+    so block params carry the leading depth axis. Training with dropout > 0
+    is not supported on the pipelined path (RNG would need per-stage
+    threading through shard_map); configure ``dropout=0.0`` or run
+    ``train=False``.
+    """
+    if not model.scan_blocks:
+        raise ValueError("pipeline parallelism needs scan_blocks=True "
+                         "(depth-stacked block params)")
+    if train and (model.dropout > 0 or model.attn_dropout > 0):
+        raise NotImplementedError(
+            "pipelined training path does not thread dropout RNG; set "
+            "dropout=0.0 / attn_dropout=0.0"
+        )
+    from dlsc_tpu.models.vit import Block
+
+    tokens, n_real = model.apply(variables, x, part="embed")
+    blk = Block(
+        model.emb_dim, model.num_heads, dropout=model.dropout,
+        attn_dropout=model.attn_dropout, dtype=model.dtype,
+        use_flash=model.use_flash, attn_impl=model.attn_impl, n_real=n_real,
+    )
+
+    def apply_block(p, h):
+        return blk.apply({"params": p}, h, train)
+
+    stacked = variables["params"]["blocks"]["block"]
+    y = pipeline_blocks(
+        apply_block, stacked, tokens, mesh=mesh, n_micro=n_micro
+    )
+    return model.apply(variables, y, part="finalize")
