@@ -185,6 +185,13 @@ def vit_apply_pp(
             "pipelined training path does not thread dropout RNG; set "
             "dropout=0.0 / attn_dropout=0.0"
         )
+    if model.token_sharding is not None:
+        raise ValueError(
+            "pipeline parallelism does not compose with sequence parallelism "
+            "(token_sharding uses GSPMD constraints, which cannot appear "
+            "inside the pipeline's shard_map); build the model with "
+            "token_sharding=None"
+        )
     from dlsc_tpu.models.vit import Block
 
     tokens, n_real = model.apply(variables, x, part="embed")
