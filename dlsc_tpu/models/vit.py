@@ -147,6 +147,38 @@ class _HeadMergeProj(nn.Module):
         return jnp.einsum("bhnd,hdo->bno", out, w) + bias.astype(self.dtype)
 
 
+def remat_kwargs(remat_policy: str) -> dict:
+    """jax.checkpoint kwargs for an encoder-block remat policy. Shared by the
+    ASTViT block loop and the pipeline-parallel runner (parallel/pp.py).
+
+    - 'full': save nothing (classic remat).
+    - 'dots': save matmul outputs — recompute only elementwise ops.
+    - 'attn_out': keep attention outputs (~B·N·D per block). NOTE (measured,
+      TPU r2): this does NOT skip the attention-kernel recompute — the splash
+      kernel is a custom_vjp whose backward consumes its own residuals
+      (q,k,v,out,logsumexp), so the remat'd backward re-runs the kernel
+      forward regardless of saved downstream tensors (39.8 vs 40.0 clips/s).
+      It only saves the proj-input recompute.
+    - 'attn_res': save the splash kernel's OWN residuals (padded out +
+      logsumexp, named inside the kernel via residual_checkpoint_name): the
+      backward then reuses them instead of re-running the kernel forward —
+      the decisive remat policy for this model (the kernel refwd is
+      ~200 ms/step at B=64; everything else recomputes cheap).
+    """
+    remat_kw: dict = {"static_argnums": (2,)}
+    if remat_policy == "dots":
+        remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif remat_policy == "attn_out":
+        remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+            "attn_out")
+    elif remat_policy == "attn_res":
+        remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+            "attn_res")
+    elif remat_policy != "full":
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
+    return remat_kw
+
+
 def _fit_block(b: int, n_pad: int) -> int:
     """Largest 128-multiple ≤ b that divides n_pad (kernel grid constraint)."""
     b = min(b, n_pad)
@@ -562,28 +594,7 @@ class ASTViT(nn.Module):
             raise ValueError(f"unknown part {part!r}")
         x, n_real = self.embed(x)
 
-        remat_kw = {"static_argnums": (2,)}
-        if self.remat_policy == "dots":
-            remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        elif self.remat_policy == "attn_out":
-            # keep attention outputs (~B·N·D per block). NOTE (measured, TPU
-            # r2): this does NOT skip the attention-kernel recompute — the
-            # splash kernel is a custom_vjp whose backward consumes its own
-            # residuals (q,k,v,out,logsumexp), so the remat'd backward re-runs
-            # the kernel forward regardless of saved downstream tensors
-            # (39.8 vs 40.0 clips/s). It only saves the proj-input recompute.
-            remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
-                "attn_out")
-        elif self.remat_policy == "attn_res":
-            # save the splash kernel's OWN residuals (padded out + logsumexp,
-            # named inside the kernel via residual_checkpoint_name): the
-            # backward then reuses them instead of re-running the kernel
-            # forward — the decisive remat policy for this model (the kernel
-            # refwd is ~200 ms/step at B=64; everything else recomputes cheap)
-            remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
-                "attn_res")
-        elif self.remat_policy != "full":
-            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+        remat_kw = remat_kwargs(self.remat_policy)
         if self.scan_blocks:
             body = _ScanBlock
             if self.remat:

@@ -1,6 +1,6 @@
 """Shape-specialized flash-attention forward for the AST family.
 
-Measured at AST-Base shapes ((64, 12, 1792, 64) bf16, boundary 1646,
+Measured at AST-Base shapes ((64, 12, 1792, 64) bf16, boundary 1645,
 pre-padded inputs): fwd 14.7 ms vs 16.1 for the generic splash forward,
 fwd+bwd 34.6 vs 36.9 — ~28 ms/step across the 12 encoder blocks. The
 generic forward pays for online-softmax rescaling passes and per-tile mask

@@ -192,10 +192,19 @@ def vit_apply_pp(
             "inside the pipeline's shard_map); build the model with "
             "token_sharding=None"
         )
-    from dlsc_tpu.models.vit import Block
+    import flax.linen as nn
+
+    from dlsc_tpu.models.vit import Block, remat_kwargs
 
     tokens, n_real = model.apply(variables, x, part="embed")
-    blk = Block(
+    # honor the model's remat config (ast_small/ast defaults rely on it —
+    # without remat the per-microbatch saved activations on each stage can
+    # OOM at exactly the scales PP targets)
+    block_cls = (
+        nn.remat(Block, **remat_kwargs(model.remat_policy))
+        if model.remat else Block
+    )
+    blk = block_cls(
         model.emb_dim, model.num_heads, dropout=model.dropout,
         attn_dropout=model.attn_dropout, dtype=model.dtype,
         use_flash=model.use_flash, attn_impl=model.attn_impl, n_real=n_real,

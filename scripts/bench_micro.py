@@ -113,7 +113,7 @@ def main(which: list[str]) -> None:
         # inputs exactly as the unrolled AST-Base step runs it
         from dlsc_tpu.models.vit import _splash_mha
 
-        n_pad, n_real = 1792, 1646
+        n_pad, n_real = 1792, 1645
         q, k, v = (jnp.asarray(rng.standard_normal((B, H, n_pad, DH)) * 0.1,
                                jnp.bfloat16) for _ in range(3))
 

@@ -127,6 +127,36 @@ def test_validation_errors(setup):
         vit_apply_pp(model_u, variables, x, mesh=mesh, n_micro=2)
 
 
+def test_remat_model_matches_sequential(setup):
+    # the pipelined path must honor the model's remat config (ast/ast_small
+    # default remat=True); remat changes scheduling, not math
+    _, x, variables = setup
+    model = ASTViT(num_classes=7, emb_dim=32, depth=4, num_heads=2,
+                   patch_size=16, patch_stride=16, overlap=0, dropout=0.0,
+                   dtype=jnp.float32, use_flash=False, scan_blocks=True,
+                   remat=True, remat_policy="attn_res")
+    mesh = get_pp_mesh(8, 4)
+
+    def loss_pp(params):
+        out = vit_apply_pp(model, {"params": params}, x, mesh=mesh,
+                           n_micro=2, train=True)
+        return jnp.sum(out**2)
+
+    def loss_ref(params):
+        out = model.apply({"params": params}, x, train=True,
+                          rngs={"dropout": jax.random.key(9)})
+        return jnp.sum(out**2)
+
+    (l_pp, g_pp) = jax.jit(jax.value_and_grad(loss_pp))(variables["params"])
+    (l_ref, g_ref) = jax.jit(jax.value_and_grad(loss_ref))(variables["params"])
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-6)
+    leaves_pp = jax.tree_util.tree_leaves(g_pp)
+    leaves_ref = jax.tree_util.tree_leaves(g_ref)
+    for v, r in zip(leaves_pp, leaves_ref):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(r),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_embed_finalize_parts_consistent(setup):
     # the part= plumbing must compose back to the full forward
     model, x, variables = setup
