@@ -55,6 +55,7 @@ def base_cfg(tmp_path_factory):
     })
 
 
+@pytest.mark.slow
 def test_hpo_runner_end_to_end(base_cfg, tmp_path):
     space = HyperparameterSpace.from_nested({
         "optimizer": {"lr": {"type": "float", "low": 1e-4, "high": 1e-2,

@@ -25,6 +25,7 @@ def key():
     return jax.random.key(0)
 
 
+@pytest.mark.slow
 def test_envnet_v2_contract(key):
     """5 s @ 44.1 kHz → (B, C) logits; trunk must produce 256*10*33 features
     (reference: src/models/envnet_v2.py:49-52)."""
@@ -39,6 +40,7 @@ def test_envnet_v2_contract(key):
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_envnet_v2_train_mode_updates_batch_stats(key):
     model = EnvNetV2(num_classes=10)
     x = jax.random.normal(key, (2, 220500)) * 0.1

@@ -84,6 +84,7 @@ def cli_tree(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_optimize_hyperparams_cli(cli_tree, monkeypatch):
     import scripts.optimize_hyperparams as O
 

@@ -148,6 +148,7 @@ def test_multi_crop_eval_step():
     assert int(ms.count) == 4
 
 
+@pytest.mark.slow
 def test_dp_tp_dryrun():
     """Full dp x tp training step on the 8-device mesh (via __graft_entry__)."""
     import __graft_entry__ as ge
@@ -155,6 +156,7 @@ def test_dp_tp_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sp_tp_matches_single_device():
     """Sequence parallelism (token-sharded residual stream via
     ASTViT.token_sharding) composed with Megatron TP param shardings: one

@@ -206,6 +206,7 @@ def base_params():
     return model, vars_["params"]
 
 
+@pytest.mark.slow
 def test_timm_base_layout_roundtrip(base_params):
     """Every key of an exact deit_base_patch16_384 state dict is either
     consumed or in the documented discard set; spot values land where the

@@ -98,6 +98,7 @@ def test_checkpointing_disabled_with_save_top_k_zero(tmp_path):
     assert not any((tmp_path / "ck").iterdir())
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(dm_root, tmp_path):
     dm = _dm(dm_root)
     t1 = Trainer(max_epochs=2, enable_progress_bar=False,
@@ -166,6 +167,7 @@ def test_callbacks_and_should_stop(dm_root):
     assert trainer.history[-1]["epoch"] == 1
 
 
+@pytest.mark.slow
 def test_swa_averaging(dm_root):
     dm = _dm(dm_root)
     trainer = Trainer(max_epochs=4, enable_progress_bar=False,
@@ -212,6 +214,7 @@ def test_swa_lr_schedule(dm_root):
         np.testing.assert_allclose(float(jax_fn(step)), py_fn(step), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_swa_with_lrs_trains(dm_root):
     dm = _dm(dm_root)
     trainer = Trainer(max_epochs=4, enable_progress_bar=False,
@@ -225,6 +228,7 @@ def test_swa_with_lrs_trains(dm_root):
     assert 0.0 <= results["test/acc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_full_fit_sharded_matches_single_device(dm_root):
     """Trainer.fit end-to-end on the 8-device mesh ≡ single device (VERDICT
     r1 #9): guards the loop's sharded _put/donation paths, not just the step
@@ -255,6 +259,7 @@ def test_full_fit_sharded_matches_single_device(dm_root):
         np.testing.assert_allclose(h1["val/loss"], h8["val/loss"], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_device_resident_matches_host_path(dm_root):
     """The device-resident dataset mode (pool in device memory, per-step
     index gather) must produce identical training to the host wave-transfer
@@ -278,6 +283,7 @@ def test_device_resident_matches_host_path(dm_root):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_preflight_hbm_fallback(dm_root, monkeypatch):
     """When the device-resident train step fails the preflight compile with
     an HBM-capacity error, the Trainer must drop the pool, recompile the
@@ -312,6 +318,7 @@ def test_preflight_hbm_fallback(dm_root, monkeypatch):
     assert "train/acc" in trainer.logged_metrics
 
 
+@pytest.mark.slow
 def test_device_resident_pool_cap(dm_root):
     """'auto' must fall back to the host path when the pool exceeds the cap."""
     dm = _dm(dm_root)

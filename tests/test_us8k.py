@@ -27,6 +27,7 @@ def test_us8k_ten_folds(us8k_root):
         US8KDataModule(root=str(us8k_root), num_classes=10, fold=10)
 
 
+@pytest.mark.slow
 def test_us8k_trains(us8k_root):
     import flax.linen as nn
 

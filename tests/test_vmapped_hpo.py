@@ -37,6 +37,7 @@ def dm(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_vmapped_batch_runs_and_reports(dm, tmp_path):
     study = Study("vmap_hpo", tmp_path / "v.db", "maximize",
                   sampler=TPESampler(seed=0))
@@ -59,6 +60,7 @@ def test_vmapped_batch_runs_and_reports(dm, tmp_path):
     assert len(lrs) == 4
 
 
+@pytest.mark.slow
 def test_vmapped_lr_effect_is_per_trial(dm, tmp_path):
     """A near-zero-lr slot must learn less than a sensible-lr slot — proves
     hyperparameters ride per-slot through inject_hyperparams."""
@@ -87,6 +89,7 @@ def test_vmapped_lr_effect_is_per_trial(dm, tmp_path):
     assert live_curve[-1] > frozen_curve[-1] + 0.1, (frozen_curve, live_curve)
 
 
+@pytest.mark.slow
 def test_vmapped_with_hyperband_pruning(dm, tmp_path):
     study = Study("vmap_hb", tmp_path / "v3.db", "maximize",
                   sampler=TPESampler(seed=1),
@@ -99,6 +102,7 @@ def test_vmapped_with_hyperband_pruning(dm, tmp_path):
     assert states <= {TrialState.COMPLETE, TrialState.PRUNED}
 
 
+@pytest.mark.slow
 def test_run_continuous_slot_recycling(dm, tmp_path):
     """8 trials through 4 always-busy slots: every trial terminal, recycled
     slots get fresh hyperparameters, study sees per-epoch reports."""
