@@ -74,7 +74,7 @@ def get_pp_mesh(
 
 
 def pipeline_blocks(
-    apply_block: Callable[[Any, jax.Array], jax.Array],
+    apply_block: Callable[..., jax.Array],
     stacked_params: Any,
     x: jax.Array,
     *,
@@ -82,6 +82,7 @@ def pipeline_blocks(
     n_micro: int,
     axis: str = "stage",
     data_axis: str = "data",
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """Apply ``depth`` stacked blocks to ``x`` pipelined over ``axis``.
 
@@ -89,12 +90,19 @@ def pipeline_blocks(
     inside shard_map, so it must not itself use GSPMD shardings.
     stacked_params: pytree whose leaves have a leading ``depth`` axis (the
     nn.scan layout). x: (B, N, D) with B sharded over ``data_axis``.
+
+    ``rng``: optional PRNG key enabling stochastic blocks (dropout). When
+    given, apply_block is called as ``apply_block(params, h, key)`` with a
+    key folded from (data shard, microbatch, global layer index) — i.e. the
+    noise stream is a pure function of which sample block is being processed,
+    independent of the pipeline schedule.
     """
     n_stages = int(mesh.shape[axis])
     n_data = int(mesh.shape[data_axis])
     depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    layers_per_stage = depth // n_stages
     B = x.shape[0]
     if B % (n_data * n_micro):
         raise ValueError(
@@ -105,18 +113,28 @@ def pipeline_blocks(
     param_spec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
     x_spec = P(data_axis)  # batch over 'data', replicated over 'stage'
 
-    def body(params_local, x_local):
+    def body(params_local, x_local, key):
         S = n_stages
         stage = jax.lax.axis_index(axis)
         Bl = x_local.shape[0]
         mb = Bl // n_micro
         xm = x_local.reshape(n_micro, mb, *x_local.shape[1:])
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
 
-        def run_stage(h):
-            def one(h, p):
-                return apply_block(p, h), None
+        def run_stage(h, m):
+            # m: microbatch id this stage processes this tick (clipped;
+            # fill/drain garbage is masked at the output buffer)
+            layer_ids = stage * layers_per_stage + jnp.arange(layers_per_stage)
 
-            h, _ = jax.lax.scan(one, h, params_local)
+            def one(h, pl):
+                p, lid = pl
+                if key is None:
+                    return apply_block(p, h), None
+                k = jax.random.fold_in(jax.random.fold_in(key, m), lid)
+                return apply_block(p, h, k), None
+
+            h, _ = jax.lax.scan(one, h, (params_local, layer_ids))
             return h
 
         perm = [(i, (i + 1) % S) for i in range(S)]
@@ -130,7 +148,8 @@ def pipeline_blocks(
                 xm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
             )
             inp = jnp.where(stage == 0, first, recv)
-            out = run_stage(inp)
+            # stage s works on microbatch t - s (by pipeline induction)
+            out = run_stage(inp, jnp.clip(t - stage, 0, n_micro - 1))
             # the last stage finishes microbatch m = t - (S-1) at tick t;
             # fill ticks (m < 0) rewrite the existing slot with itself.
             m = t - (S - 1)
@@ -153,11 +172,11 @@ def pipeline_blocks(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(param_spec, x_spec),
+        in_specs=(param_spec, x_spec, P()),
         out_specs=x_spec,
         **_SM_KW,
     )
-    return fn(stacked_params, x)
+    return fn(stacked_params, x, rng)
 
 
 def vit_apply_pp(
@@ -168,22 +187,24 @@ def vit_apply_pp(
     mesh: Mesh,
     n_micro: int,
     train: bool = False,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """Full ASTViT forward with the encoder pipelined over the 'stage' axis.
 
     ``model`` must use the scan (stacked) block layout (``scan_blocks=True``)
     so block params carry the leading depth axis. Training with dropout > 0
-    is not supported on the pipelined path (RNG would need per-stage
-    threading through shard_map); configure ``dropout=0.0`` or run
-    ``train=False``.
+    needs ``rng``: block dropout noise is folded from (data shard,
+    microbatch, layer), so it is schedule-independent — but it is a
+    *different* stream than the sequential model's, as with any scan/unroll
+    layout change.
     """
     if not model.scan_blocks:
         raise ValueError("pipeline parallelism needs scan_blocks=True "
                          "(depth-stacked block params)")
-    if train and (model.dropout > 0 or model.attn_dropout > 0):
-        raise NotImplementedError(
-            "pipelined training path does not thread dropout RNG; set "
-            "dropout=0.0 / attn_dropout=0.0"
+    dropout_active = train and (model.dropout > 0 or model.attn_dropout > 0)
+    if dropout_active and rng is None:
+        raise ValueError(
+            "training with dropout on the pipelined path requires rng="
         )
     if model.token_sharding is not None:
         raise ValueError(
@@ -210,11 +231,13 @@ def vit_apply_pp(
         use_flash=model.use_flash, attn_impl=model.attn_impl, n_real=n_real,
     )
 
-    def apply_block(p, h):
-        return blk.apply({"params": p}, h, train)
+    def apply_block(p, h, key=None):
+        rngs = {"dropout": key} if key is not None else None
+        return blk.apply({"params": p}, h, train, rngs=rngs)
 
     stacked = variables["params"]["blocks"]["block"]
     y = pipeline_blocks(
-        apply_block, stacked, tokens, mesh=mesh, n_micro=n_micro
+        apply_block, stacked, tokens, mesh=mesh, n_micro=n_micro,
+        rng=rng if dropout_active else None,
     )
     return model.apply(variables, y, part="finalize")

@@ -115,9 +115,9 @@ def test_validation_errors(setup):
             lambda p, h: h, {"w": jnp.zeros((4, 3))},
             jnp.zeros((6, 4, 3)), mesh=mesh, n_micro=2,
         )
-    # dropout > 0 in training is rejected on the pipelined path
+    # dropout > 0 in training requires an rng on the pipelined path
     model_d = _tiny_vit(dropout=0.1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="requires rng"):
         vit_apply_pp(model_d, variables, x, mesh=mesh, n_micro=2, train=True)
     # unrolled layout has no stacked params
     model_u = ASTViT(num_classes=7, emb_dim=32, depth=4, num_heads=2,
@@ -125,6 +125,38 @@ def test_validation_errors(setup):
                      dropout=0.0, use_flash=False, scan_blocks=False)
     with pytest.raises(ValueError, match="scan_blocks"):
         vit_apply_pp(model_u, variables, x, mesh=mesh, n_micro=2)
+
+
+def test_dropout_training_with_rng(setup):
+    # pipelined training with dropout: deterministic per key, noise actually
+    # applied, and grads flow. The stream is folded from (data shard,
+    # microbatch, layer) so it is a different stream than the sequential
+    # model's — equality is only checked against itself.
+    _, x, variables = setup
+    model = _tiny_vit(dropout=0.5)
+    mesh = get_pp_mesh(8, 4)
+    key = jax.random.key(3)
+
+    fwd = jax.jit(lambda v, x, k: vit_apply_pp(
+        model, v, x, mesh=mesh, n_micro=2, train=True, rng=k))
+    a = fwd(variables, x, key)
+    b = fwd(variables, x, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = fwd(variables, x, jax.random.key(4))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+    # eval path (no dropout) differs from the training forward
+    ev = jax.jit(lambda v, x: vit_apply_pp(
+        model, v, x, mesh=mesh, n_micro=2, train=False))(variables, x)
+    assert np.abs(np.asarray(a) - np.asarray(ev)).max() > 1e-6
+
+    def loss(params):
+        out = vit_apply_pp(model, {"params": params}, x, mesh=mesh,
+                           n_micro=2, train=True, rng=key)
+        return jnp.sum(out**2)
+
+    g = jax.jit(jax.grad(loss))(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
 
 
 def test_remat_model_matches_sequential(setup):
