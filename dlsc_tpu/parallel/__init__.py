@@ -9,6 +9,7 @@ from dlsc_tpu.parallel.mesh import (
     replicate,
 )
 from dlsc_tpu.parallel.pp import get_pp_mesh, pipeline_blocks, vit_apply_pp
+from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
 
 __all__ = [
     "MeshPlan",
@@ -19,4 +20,6 @@ __all__ = [
     "get_pp_mesh",
     "pipeline_blocks",
     "vit_apply_pp",
+    "get_pp_tp_mesh",
+    "vit_apply_pp_tp",
 ]

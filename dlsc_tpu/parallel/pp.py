@@ -26,11 +26,11 @@ Differentiable end-to-end: ppermute/psum/scan all transpose cleanly, so
 ``jax.grad`` through the pipelined forward yields exactly the sequential
 gradients (asserted in tests/test_pp.py on the 8-device CPU mesh).
 
-Composes with data parallelism on a ('data', 'stage') mesh. Not composed
-with TP/SP (those shard *within* a block over 'model'); a 3-D mesh would
-need per-block GSPMD inside the shard_map body, which JAX does not currently
-allow — documented limitation, matching how dp×tp×sp is already the
-standard configuration (parallel/tp.py).
+Composes with data parallelism on a ('data', 'stage') mesh. GSPMD-based
+TP/SP (parallel/tp.py) cannot appear inside the shard_map body; the pp×tp
+composition instead writes the within-block tensor parallelism manually
+(explicit psum collectives over a third 'model' axis) — see
+parallel/pp_tp.py.
 """
 
 from __future__ import annotations
@@ -83,6 +83,7 @@ def pipeline_blocks(
     axis: str = "stage",
     data_axis: str = "data",
     rng: jax.Array | None = None,
+    param_specs: Any | None = None,
 ) -> jax.Array:
     """Apply ``depth`` stacked blocks to ``x`` pipelined over ``axis``.
 
@@ -96,6 +97,12 @@ def pipeline_blocks(
     key folded from (data shard, microbatch, global layer index) — i.e. the
     noise stream is a pure function of which sample block is being processed,
     independent of the pipeline schedule.
+
+    ``param_specs``: optional PartitionSpec pytree for ``stacked_params``
+    overriding the default ``P(axis)`` (depth-only sharding) — used by the
+    pp×tp composition (parallel/pp_tp.py) to additionally shard within-block
+    dims over a 'model' axis; apply_block then sees *local* parameter shards
+    and is responsible for its own cross-shard collectives.
     """
     n_stages = int(mesh.shape[axis])
     n_data = int(mesh.shape[data_axis])
@@ -110,7 +117,10 @@ def pipeline_blocks(
             f"n_micro ({n_micro})"
         )
 
-    param_spec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    param_spec = (
+        param_specs if param_specs is not None
+        else jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    )
     x_spec = P(data_axis)  # batch over 'data', replicated over 'stage'
 
     def body(params_local, x_local, key):
