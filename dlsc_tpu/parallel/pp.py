@@ -54,23 +54,36 @@ import inspect as _inspect
 _SM_PARAMS = _inspect.signature(shard_map).parameters
 _SM_KW = (
     {"check_rep": False} if "check_rep" in _SM_PARAMS
-    else {"check_vma": False} if "check_vma" in _SM_PARAMS
-    else {}
+    # default to check_vma even if the signature hides it (e.g. a *args
+    # wrapper): passing it raises loudly on an incompatible version instead
+    # of silently leaving the replication check ON, which the pipeline's
+    # masked-psum output pattern cannot pass
+    else {"check_vma": False}
 )
+
+
+def _mesh_from_axes(
+    axes: list[tuple[str, int]], n_devices: int | None = None, devices=None
+) -> Mesh:
+    """Mesh with a leading 'data' axis absorbing the devices the named
+    trailing axes don't use. Shared by get_pp_mesh / get_pp_tp_mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    tail = int(np.prod([s for _, s in axes]))
+    if n % tail:
+        names = "*".join(f"{a}={s}" for a, s in axes)
+        raise ValueError(f"{n} devices not divisible by {names}")
+    arr = np.asarray(devices).reshape(n // tail, *(s for _, s in axes))
+    return Mesh(arr, ("data", *(a for a, _ in axes)))
 
 
 def get_pp_mesh(
     n_devices: int | None = None, n_stages: int = 2, devices=None
 ) -> Mesh:
     """('data', 'stage') mesh: batch axis × pipeline axis."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    n = len(devices)
-    if n % n_stages:
-        raise ValueError(f"{n} devices not divisible by n_stages={n_stages}")
-    arr = np.asarray(devices).reshape(n // n_stages, n_stages)
-    return Mesh(arr, ("data", "stage"))
+    return _mesh_from_axes([("stage", n_stages)], n_devices, devices)
 
 
 def pipeline_blocks(

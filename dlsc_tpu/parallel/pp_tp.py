@@ -34,11 +34,11 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.ad_checkpoint  # checkpoint_name is not reachable as a lazy attr
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dlsc_tpu.parallel.pp import pipeline_blocks
+from dlsc_tpu.parallel.pp import _mesh_from_axes, pipeline_blocks
 
 
 def get_pp_tp_mesh(
@@ -48,16 +48,9 @@ def get_pp_tp_mesh(
     devices=None,
 ) -> Mesh:
     """('data', 'stage', 'model') mesh: batch × pipeline × tensor axes."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    n = len(devices)
-    if n % (n_stages * n_tp):
-        raise ValueError(
-            f"{n} devices not divisible by n_stages*n_tp={n_stages * n_tp}"
-        )
-    arr = np.asarray(devices).reshape(n // (n_stages * n_tp), n_stages, n_tp)
-    return Mesh(arr, ("data", "stage", "model"))
+    return _mesh_from_axes(
+        [("stage", n_stages), ("model", n_tp)], n_devices, devices
+    )
 
 
 def _ln(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -69,8 +62,9 @@ def _ln(x: jax.Array, scale: jax.Array, bias: jax.Array,
     var = jnp.maximum(
         jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
     )
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(x.dtype)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    # scale/bias arithmetic in the model dtype, matching flax's promotion
+    return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
@@ -130,6 +124,9 @@ def _block_tp(
             attn = _dropout(attn, attn_dropout, k_attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
+    # name the attention output so remat_policy='attn_out' saves it here
+    # exactly as models/vit.py Attention does
+    out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
     wp = p["proj"]["kernel"].astype(dtype)  # (Hl, dh, D)
     a = jnp.einsum("bhnd,hdo->bno", out, wp)
     a = jax.lax.psum(a, axis) + p["proj"]["bias"].astype(dtype)
@@ -208,9 +205,11 @@ def vit_apply_pp_tp(
         raise ValueError(
             f"num_heads {model.num_heads} not divisible by model axis {tp}"
         )
-    if (4 * model.emb_dim) % tp:
+    hidden = variables["params"]["blocks"]["block"]["mlp"]["fc1"][
+        "kernel"].shape[-1]
+    if hidden % tp:
         raise ValueError(
-            f"MLP hidden {4 * model.emb_dim} not divisible by model axis {tp}"
+            f"MLP hidden {hidden} not divisible by model axis {tp}"
         )
     dropout_active = train and (model.dropout > 0 or model.attn_dropout > 0)
     if dropout_active and rng is None:

@@ -56,6 +56,26 @@ def test_forward_matches_sequential(setup, shape, n_micro):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_forward_matches_sequential_bf16(setup):
+    # the AST family trains in bf16; _ln's scale/bias arithmetic runs in the
+    # model dtype to track flax's promotion — parity within bf16 tolerance
+    _, x, variables = setup
+    model = ASTViT(
+        num_classes=7, emb_dim=32, depth=4, num_heads=2,
+        patch_size=16, patch_stride=16, overlap=0,
+        dropout=0.0, dtype=jnp.bfloat16, use_flash=False, scan_blocks=True,
+    )
+    mesh = get_pp_tp_mesh(8, 2, 2)
+    ref = model.apply(variables, x, train=False)
+    out = jax.jit(
+        lambda v, x: vit_apply_pp_tp(model, v, x, mesh=mesh, n_micro=2)
+    )(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
 def test_grads_match_sequential(setup):
     model, x, variables = setup
     mesh = get_pp_tp_mesh(8, 2, 2)
