@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Serving/inference benchmark: eval-path latency + throughput on the TPU.
+
+Measures the full serving path per batch — PCM float waveform → eval
+pipeline (log-mel + renorm / pad + center-crop / mel image; no
+augmentation, data/pipeline.py eval_batch) → model forward (train=False) →
+softmax → host readback of the probabilities — i.e. exactly what
+scripts/predict.py executes per request. The reference has no inference
+benchmark (it has no benchmarks at all, SURVEY.md §6); this harness
+provides the serving numbers for BASELINE.md. Prints one JSON line per
+variant.
+
+    python scripts/bench_infer.py [variant ...]   # default: the full matrix
+
+Run ONE instance at a time (serial remote compile queue).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CLIP = 220_500  # 5 s @ 44.1 kHz
+
+VARIANTS = {
+    # name: (model, batch, dtype, pipeline kwargs)
+    "ast_b1": ("ast", 1, "bfloat16", {}),
+    "ast_b8": ("ast", 8, "bfloat16", {}),
+    "ast_b64": ("ast", 64, "bfloat16", {}),
+    "ast_small_b64": ("ast_small", 64, "bfloat16", {}),
+    "ast_mini_b64": ("ast_mini", 64, "bfloat16", {}),
+    "envnet_b64": ("envnet_v2", 64, "float32", {}),
+    # the reference's 10-crop test-time protocol (preprocessing.py:857-884)
+    "envnet_10crop_b16": ("envnet_v2", 16, "float32",
+                          {"multi_crop_test": True}),
+    "cnn_b64": ("cnn_esc50", 64, "float32", {}),
+    "leaf_b32": ("leaf", 32, "float32", {}),
+}
+
+
+def build(which: str, dtype, pipe_kwargs: dict):
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.models import (
+        ASTMiniViT, ASTModel, ASTViTSmall, CNN_ESC50, EnvNetV2, LeafModel,
+    )
+
+    if which == "ast":
+        return ASTModel(num_classes=50, dtype=dtype), "ast"
+    if which == "ast_small":
+        return ASTViTSmall(num_classes=50, dtype=dtype), "ast"
+    if which == "ast_mini":
+        return ASTMiniViT(num_classes=50, dtype=dtype), "ast"
+    if which == "envnet_v2":
+        return EnvNetV2(num_classes=50, dtype=dtype), "envnet_v2"
+    if which == "cnn_esc50":
+        return CNN_ESC50(num_classes=50, dtype=dtype), "cnn_esc50"
+    if which == "leaf":
+        return LeafModel(num_classes=50, n_filters=128, dtype=dtype), "envnet_v2"
+    raise ValueError(which)
+
+
+def run_variant(name: str, which: str, batch: int, dtype_name: str,
+                pipe_kwargs: dict, n_iters: int = 20) -> dict | None:
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+
+    dtype = jnp.dtype(dtype_name)
+    model, mode = build(which, dtype, pipe_kwargs)
+    pipe = DevicePipeline(PipelineConfig(
+        mode=mode, num_classes=50, window_length=5.0, padding_ratio=0.5,
+        **pipe_kwargs,
+    ))
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((batch, CLIP)).astype(np.float32) * 0.3)
+    zeros = jnp.zeros((batch,), jnp.int32)
+
+    feats, _ = jax.jit(pipe.eval_batch)(wave[:1], zeros[:1])
+    if feats.ndim == 3 and mode == "envnet_v2":
+        feats = feats[:, 0]  # multi-crop: init on one crop
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False,
+    )
+
+    from dlsc_tpu.serving import make_infer
+
+    infer = jax.jit(make_infer(model, pipe))
+
+    probs = jax.device_get(infer(variables, wave))  # compile + warmup
+    probs = jax.device_get(infer(variables, wave))
+    assert np.isfinite(probs).all()
+    t0 = time.time()
+    for _ in range(n_iters):
+        probs = jax.device_get(infer(variables, wave))
+    dt = time.time() - t0
+    ms = dt / n_iters * 1e3
+    result = {
+        "variant": name,
+        "batch": batch,
+        "dtype": dtype_name,
+        "latency_ms": round(ms, 2),
+        "clips_per_sec": round(batch * n_iters / dt, 1),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main(argv: list[str]) -> None:
+    names = argv or list(VARIANTS)
+    for name in names:
+        try:
+            run_variant(name, *VARIANTS[name])
+        except Exception:
+            print(f"[{name}] FAILED", flush=True)
+            traceback.print_exc()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,102 @@
+"""Serving export/load (dlsc_tpu/serving.py): StableHLO roundtrip ≡ direct.
+
+Exports the compiled inference path (eval pipeline + forward + softmax) on
+the CPU backend, reloads it through load_exported — which uses only the
+artifact dir, no model classes — and checks the served probabilities match
+a direct make_infer call bit-for-bit-ish.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+from dlsc_tpu.models.vit import ASTViT
+from dlsc_tpu.serving import export_model, load_exported, make_infer
+
+CLIP = 44_100  # 1-s clips keep the CPU forward cheap
+
+
+def _tiny_ast():
+    model = ASTViT(num_classes=7, emb_dim=32, depth=2, num_heads=2,
+                   patch_size=16, patch_stride=16, overlap=0,
+                   dropout=0.0, dtype=jnp.float32, use_flash=False)
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=7))
+    return model, pipe
+
+
+def _init(model, pipe, wave):
+    feats, _ = jax.jit(pipe.eval_batch)(
+        wave, jnp.zeros((wave.shape[0],), jnp.int32))
+    return jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False,
+    )
+
+
+def test_roundtrip_matches_direct(tmp_path):
+    model, pipe = _tiny_ast()
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, CLIP)).astype(np.float32)
+    )
+    variables = _init(model, pipe, wave)
+    direct = jax.jit(make_infer(model, pipe))(variables, wave)
+
+    art = export_model(model, pipe, variables, tmp_path / "art",
+                       batch=2, clip_samples=CLIP, platforms=("cpu",))
+    serve = load_exported(art)
+    probs = serve(wave)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(direct),
+                               rtol=1e-6, atol=1e-7)
+    assert serve.manifest["batch"] == 2
+    assert serve.manifest["clip_samples"] == CLIP
+    assert serve.manifest["num_classes"] == 7
+    # probabilities: rows sum to 1
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_roundtrip_with_batch_stats(tmp_path):
+    # CNN_ESC50 carries BatchNorm batch_stats — the full-variables flow
+    from dlsc_tpu.models.cnn_esc50 import CNN_ESC50
+
+    model = CNN_ESC50(num_classes=5)
+    pipe = DevicePipeline(PipelineConfig(mode="cnn_esc50", num_classes=5))
+    wave = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, CLIP)).astype(np.float32)
+    )
+    variables = _init(model, pipe, wave)
+    assert "batch_stats" in variables
+    direct = jax.jit(make_infer(model, pipe))(variables, wave)
+
+    art = export_model(model, pipe, variables, tmp_path / "art",
+                       batch=2, clip_samples=CLIP, platforms=("cpu",))
+    probs = load_exported(art)(wave)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(direct),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_multicrop_infer_path():
+    # the 10-crop eval protocol goes through make_infer's crop-mean branch;
+    # use a tiny raw-wave model (a Dense head over the crop) to keep it cheap
+    import flax.linen as nn
+
+    class TinyRaw(nn.Module):
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            feats = jnp.stack([x.mean(-1), x.std(-1)], axis=-1)
+            return nn.Dense(self.num_classes)(feats)
+
+    model = TinyRaw()
+    pipe = DevicePipeline(PipelineConfig(
+        mode="envnet_v2", num_classes=4, window_length=0.5,
+        padding_ratio=0.5, multi_crop_test=True, test_crops=4,
+    ))
+    wave = jnp.asarray(
+        np.random.default_rng(2).standard_normal((3, CLIP)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 22_050)))
+    probs = jax.jit(make_infer(model, pipe))(variables, wave)
+    assert probs.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
