@@ -64,12 +64,18 @@ def export_model(
     batch: int = 8,
     clip_samples: int = 220_500,
     platforms: tuple[str, ...] | None = None,
+    mesh=None,
     meta: dict | None = None,
 ) -> Path:
     """Export ``make_infer(model, pipe)`` as a self-contained artifact dir.
 
     ``platforms``: lowering targets (default: the current backend). Pass
     ``("cpu", "tpu")`` for a single artifact servable on both.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — the
+    exported program is then a multi-chip SPMD serving step (variables
+    replicated, batch sharded over 'data'); loading requires the same
+    device count. ``batch`` must divide the 'data' axis size.
     """
     import jax
     import jax.numpy as jnp
@@ -88,9 +94,26 @@ def export_model(
         lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), host_vars
     )
     wave_spec = jax.ShapeDtypeStruct((batch, clip_samples), jnp.float32)
-    exp = jexport.export(jax.jit(infer), platforms=platforms)(
-        var_spec, wave_spec
-    )
+    mesh_shape = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch % int(mesh.shape["data"]):
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{int(mesh.shape['data'])}"
+            )
+        rep = NamedSharding(mesh, P())
+        bat = NamedSharding(mesh, P("data"))
+        fn = jax.jit(
+            infer,
+            in_shardings=(jax.tree_util.tree_map(lambda _: rep, var_spec), bat),
+            out_shardings=bat,
+        )
+        mesh_shape = dict(mesh.shape)
+    else:
+        fn = jax.jit(infer)
+    exp = jexport.export(fn, platforms=platforms)(var_spec, wave_spec)
     (out_dir / "serving.stablehlo").write_bytes(exp.serialize())
 
     vpath = out_dir / "variables"
@@ -108,6 +131,7 @@ def export_model(
         "platforms": list(platforms),
         "num_classes": int(pipe.cfg.num_classes),
         "pipeline_mode": pipe.cfg.mode,
+        "mesh": mesh_shape,  # None = single-device program
         **(meta or {}),
     }
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=1))

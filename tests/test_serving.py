@@ -75,6 +75,40 @@ def test_roundtrip_with_batch_stats(tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_export_matches_single_device(tmp_path):
+    # multi-chip serving: export the DP-sharded inference program over the
+    # 8-virtual-device mesh; loading + serving must equal the single-device
+    # program's output (variables replicated, batch sharded over 'data')
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlsc_tpu.parallel import get_mesh
+
+    model, pipe = _tiny_ast()
+    wave = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, CLIP)).astype(np.float32)
+    )
+    variables = _init(model, pipe, wave)
+    direct = jax.jit(make_infer(model, pipe))(variables, wave)
+
+    mesh = get_mesh()
+    art = export_model(model, pipe, variables, tmp_path / "art",
+                       batch=8, clip_samples=CLIP, platforms=("cpu",),
+                       mesh=mesh)
+    serve = load_exported(art)
+    assert serve.manifest["mesh"] == dict(mesh.shape)
+    wave_sharded = jax.device_put(wave, NamedSharding(mesh, P("data")))
+    probs = serve(wave_sharded)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(direct),
+                               rtol=2e-5, atol=1e-6)
+    # batch must divide the data axis
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        export_model(model, pipe, variables, tmp_path / "bad",
+                     batch=3, clip_samples=CLIP, platforms=("cpu",),
+                     mesh=mesh)
+
+
 def test_multicrop_infer_path():
     # the 10-crop eval protocol goes through make_infer's crop-mean branch;
     # use a tiny raw-wave model (a Dense head over the crop) to keep it cheap
