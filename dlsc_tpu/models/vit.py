@@ -254,6 +254,10 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
                 H, n_pad, dh, min(n_real, n_pad), bq_f,
                 _fit_block(_dkv_bkv_default(q.dtype), n_pad),
                 _fit_block(896, n_pad), str(q.dtype),
+                # 7 sub-rows of the 896-q block: measured 11.55 vs 12.15
+                # ms/call at AST-Base shapes (bit-identical output); the
+                # kernel clamps to the largest valid divisor elsewhere.
+                n_split=int(os.environ.get("DLSC_ATTN_FAST_SPLIT", "7")),
             )
             return jax.vmap(kernel)(q, k, v)[:, :, :N]
     if n_real < n_pad:

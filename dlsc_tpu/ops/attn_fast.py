@@ -44,12 +44,18 @@ def make_fast_mha(
     block_kv_dkv: int,
     block_kv_dkv_compute: int,
     dtype_name: str,
+    n_split: int = 1,
 ):
     """Build the (H, N, dh) single-batch fast-MHA callable (vmap over B).
 
     ``q`` must be pre-scaled by sm_scale (splash convention). Tokens at
     positions >= n_real are masked as keys; pad q-rows produce finite
     garbage the caller ignores.
+
+    ``n_split``: split each q block into sub-rows and unroll — all qk
+    matmuls issued first, then per-chunk softmax→pv — giving Mosaic's
+    scheduler the dependency freedom to overlap chunk j's pv matmul (MXU)
+    with chunk j+1's softmax (VPU). Identical math (softmax is per-row).
     """
     from jax.ad_checkpoint import checkpoint_name
     from jax.experimental import pallas as pl
@@ -72,27 +78,45 @@ def make_fast_mha(
     dtype = jnp.dtype(dtype_name)
     mask_value = splash.DEFAULT_MASK_VALUE
 
+    ns = max(1, n_split)
+    while bq % ns or (bq // ns) % 8:
+        ns -= 1
+    sub = bq // ns
+
     def fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
-        q = q_ref[0]  # (bq, dh)
         k = k_ref[0]  # (N, dh)
         v = v_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, N)
-        if n_real < N:  # static boundary -> one iota compare
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_real, s, mask_value)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, dh)
-        o_ref[0] = (o / l).astype(o_ref.dtype)
-        # lse emitted with an 8-sublane broadcast dim (TPU block tiling needs
-        # the second-to-last block dim divisible by 8); caller slices row 0
-        lse_ref[0] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :], (8, bq))
+        # stage 1: all qk matmuls (MXU) up front
+        ss = []
+        for j in range(ns):
+            q = q_ref[0][j * sub:(j + 1) * sub]  # (sub, dh)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (sub, N)
+            if n_real < N:  # static boundary -> one iota compare
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_real, s, mask_value)
+            ss.append(s)
+        # stage 2: per-chunk flat softmax (VPU) -> pv matmul (MXU); chunks
+        # are independent, so the scheduler may overlap units across chunks.
+        # Outputs are written per chunk (static ref slices) — no concats,
+        # which Mosaic rejects here.
+        for j, s in enumerate(ss):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (sub, dh)
+            o_ref[0, j * sub:(j + 1) * sub, :] = (o / l).astype(o_ref.dtype)
+            # lse emitted with an 8-sublane broadcast dim (TPU block tiling
+            # needs the second-to-last block dim divisible by 8); caller
+            # slices row 0
+            lse_ref[0, :, j * sub:(j + 1) * sub] = jnp.broadcast_to(
+                (m + jnp.log(l))[:, 0][None, :], (8, sub)
+            )
 
     grid = (H, N // bq)
     fwd_call = pl.pallas_call(
