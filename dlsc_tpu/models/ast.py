@@ -49,6 +49,8 @@ def ASTModel(
                                  # of a ~3x longer first compile (60 s,
                                  # cached). True = scan (smaller HLO; the
                                  # vmapped-HPO and multichip paths use it)
+    quant: str | None = None,    # 'w8a8': int8 serving quantization
+                                 # (inference-only; see models/vit.py)
 ) -> ASTViT:
     """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;
     weight loading happens explicitly via ``load_torch_vit``."""
@@ -69,6 +71,7 @@ def ASTModel(
         remat_policy=remat_policy,
         attn_impl=attn_impl,
         scan_blocks=scan_blocks,
+        quant=quant,
     )
 
 

@@ -24,6 +24,7 @@ def ASTMiniViT(
     num_heads: int = 3,
     f_dim: int = 128,
     dtype: Any = jnp.bfloat16,
+    quant: str | None = None,  # int8 serving quantization (vit.py)
 ) -> ASTViT:
     return ASTViT(
         num_classes=num_classes,
@@ -37,4 +38,5 @@ def ASTMiniViT(
         f_dim=f_dim,
         dropout=0.1,
         dtype=dtype,
+        quant=quant,
     )

@@ -32,6 +32,7 @@ def ASTViTSmall(
                                      # and the train step OOMs HBM (measured);
                                      # attn_res matches the bench_probe
                                      # ast_small_splash_b64 configuration
+    quant: str | None = None,        # int8 serving quantization (vit.py)
 ) -> ASTViT:
     return ASTViT(
         num_classes=num_classes,
@@ -49,4 +50,5 @@ def ASTViTSmall(
         attn_dropout=attn_dropout,
         remat=remat,
         remat_policy=remat_policy,
+        quant=quant,
     )

@@ -61,9 +61,14 @@ class Attention(nn.Module):
                                # padded the sequence to the kernel grain
                                # (encoder-wide padding); kernels mask
                                # tokens >= n_real via segment ids
+    quant: str | None = None   # 'w8a8': int8 serving quantization of the
+                               # qkv/proj matmuls (ops/quant.py) — inference
+                               # only; __call__ rejects train=True
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.quant and train:
+            raise ValueError("quant mode is inference-only (train=False)")
         B, N, D = x.shape
         H = self.num_heads
         dh = D // H
@@ -73,7 +78,7 @@ class Attention(nn.Module):
         # bench_micro attn_ctx_grad: 748 -> 562 ms). Param tree is identical
         # to nn.Dense(3D, name='qkv') / nn.Dense(D, name='proj') so the timm
         # importer, TP shardings and checkpoints are unaffected.
-        q, k, v = _PackedQKV(D, H, self.dtype, name="qkv")(x)
+        q, k, v = _PackedQKV(D, H, self.dtype, self.quant, name="qkv")(x)
 
         flash_ok = (
             self.use_flash
@@ -97,7 +102,7 @@ class Attention(nn.Module):
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
-        return _HeadMergeProj(D, H, self.dtype, name="proj")(out)
+        return _HeadMergeProj(D, H, self.dtype, self.quant, name="proj")(out)
 
 
 class _PackedQKV(nn.Module):
@@ -112,6 +117,7 @@ class _PackedQKV(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -119,8 +125,21 @@ class _PackedQKV(nn.Module):
         dh = D // H
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, 3 * D))
         bias = self.param("bias", nn.initializers.zeros_init(), (3 * D,))
-        w = kernel.astype(self.dtype).reshape(D, 3, H, dh)
         b = bias.astype(self.dtype).reshape(3, H, dh)
+        if self.quant == "w8a8":
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+
+            wq = self.variable(
+                "quant", "kernel_q",
+                lambda: quantize_weight(kernel)[0].reshape(D, 3, H, dh))
+            ws = self.variable(
+                "quant", "kernel_scale",
+                lambda: quantize_weight(kernel)[1].reshape(3, H, dh))
+            qkv = int8_dot(x, wq.value, ws.value, self.dtype)  # (B,N,3,H,dh)
+            qkv = qkv.transpose(2, 0, 3, 1, 4)                 # (3,B,H,N,dh)
+            bb = b[:, None, :, None, :]
+            return qkv[0] + bb[0], qkv[1] + bb[1], qkv[2] + bb[2]
+        w = kernel.astype(self.dtype).reshape(D, 3, H, dh)
         q = jnp.einsum("bnd,dhk->bhnk", x, w[:, 0]) + b[0][None, :, None, :]
         k = jnp.einsum("bnd,dhk->bhnk", x, w[:, 1]) + b[1][None, :, None, :]
         v = jnp.einsum("bnd,dhk->bhnk", x, w[:, 2]) + b[2][None, :, None, :]
@@ -136,6 +155,7 @@ class _HeadMergeProj(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, out):
@@ -143,6 +163,16 @@ class _HeadMergeProj(nn.Module):
         dh = D // H
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, D))
         bias = self.param("bias", nn.initializers.zeros_init(), (D,))
+        if self.quant == "w8a8":
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+
+            wq = self.variable("quant", "kernel_q",
+                               lambda: quantize_weight(kernel)[0])
+            ws = self.variable("quant", "kernel_scale",
+                               lambda: quantize_weight(kernel)[1])
+            x = out.transpose(0, 2, 1, 3).reshape(out.shape[0], out.shape[2], D)
+            return int8_dot(x, wq.value, ws.value, self.dtype) + bias.astype(
+                self.dtype)
         w = kernel.astype(self.dtype).reshape(H, dh, D)
         return jnp.einsum("bhnd,hdo->bno", out, w) + bias.astype(self.dtype)
 
@@ -375,19 +405,55 @@ def _flash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     return out[:, :, :N]
 
 
+class _QDense(nn.Module):
+    """nn.Dense-compatible layer (identical param names/inits) with an int8
+    w8a8 serving path (ops/quant.py). Used by Mlp only in quant mode so the
+    trained/non-quant path stays literally nn.Dense."""
+
+    features: int
+    dtype: Any = jnp.float32
+    quant: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if self.quant == "w8a8":
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+
+            wq = self.variable("quant", "kernel_q",
+                               lambda: quantize_weight(kernel)[0])
+            ws = self.variable("quant", "kernel_scale",
+                               lambda: quantize_weight(kernel)[1])
+            return int8_dot(x, wq.value, ws.value, self.dtype) + bias.astype(
+                self.dtype)
+        return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(
+            self.dtype)
+
+
 class Mlp(nn.Module):
     dim: int
     ratio: float = 4.0
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype, name="fc1")(x)
+        if self.quant:
+            x = _QDense(int(self.dim * self.ratio), self.dtype, self.quant,
+                        name="fc1")(x)
+        else:
+            x = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype,
+                         name="fc1")(x)
         # exact (erf) GELU to match torch.nn.GELU default
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        if self.quant:
+            x = _QDense(self.dim, self.dtype, self.quant, name="fc2")(x)
+        else:
+            x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -409,6 +475,7 @@ class Block(nn.Module):
                                 # turns the two per-block all-reduces into
                                 # reduce-scatter + all-gather pairs and the
                                 # LN/dropout/residual work runs token-sharded.
+    quant: str | None = None    # int8 serving quantization (see Attention)
 
     def _sp(self, x):
         if self.token_sharding is None:
@@ -421,10 +488,11 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = self._sp(x + Attention(self.dim, self.num_heads, self.attn_dropout,
                                    self.dtype, self.use_flash, self.attn_impl,
-                                   self.n_real, name="attn")(y, train))
+                                   self.n_real, self.quant,
+                                   name="attn")(y, train))
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = self._sp(x + Mlp(self.dim, self.mlp_ratio, self.dropout,
-                             self.dtype, name="mlp")(y, train))
+                             self.dtype, self.quant, name="mlp")(y, train))
         return x
 
 
@@ -441,12 +509,13 @@ class _ScanBlock(nn.Module):
     attn_impl: str = "splash"
     n_real: int | None = None
     token_sharding: Any = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
-                  self.attn_impl, self.n_real, self.token_sharding,
+                  self.attn_impl, self.n_real, self.token_sharding, self.quant,
                   name="block")(x, train)
         return x, None
 
@@ -494,6 +563,13 @@ class ASTViT(nn.Module):
     encoder_pad: bool = True   # pad tokens to the kernel grain once for the
                                # whole encoder (TPU flash paths only) instead
                                # of per-block — see __call__
+    quant: str | None = None   # 'w8a8': int8 serving quantization of the
+                               # encoder qkv/proj/fc1/fc2 matmuls (where the
+                               # FLOPs are; patch-embed conv, LN and the
+                               # head stay in dtype/f32). Inference-only —
+                               # materialize the int8 'quant' collection
+                               # from trained params via
+                               # dlsc_tpu.ops.quant-style mutable apply.
 
     @property
     def t_dim(self) -> int:
@@ -605,7 +681,7 @@ class ASTViT(nn.Module):
                 body = nn.remat(body, **remat_kw)
             scanned = nn.scan(
                 body,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "quant": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,  # `train` is loop-invariant
@@ -614,7 +690,7 @@ class ASTViT(nn.Module):
               attn_dropout=self.attn_dropout, dtype=self.dtype,
               use_flash=self.use_flash, attn_impl=self.attn_impl,
               n_real=n_real, token_sharding=self.token_sharding,
-              name="blocks")
+              quant=self.quant, name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
@@ -624,6 +700,6 @@ class ASTViT(nn.Module):
                     attn_dropout=self.attn_dropout, dtype=self.dtype,
                     use_flash=self.use_flash, attn_impl=self.attn_impl,
                     n_real=n_real, token_sharding=self.token_sharding,
-                    name=f"blocks_{i}",
+                    quant=self.quant, name=f"blocks_{i}",
                 )(x, train)
         return self.finalize(x)

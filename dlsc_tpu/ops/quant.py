@@ -1,0 +1,93 @@
+"""Int8 post-training quantization for the serving path (w8a8, dynamic).
+
+Scheme — the standard TPU-friendly PTQ recipe:
+
+- **Weights**: symmetric per-output-channel int8. ``scale_c = max|W[:, c]| / 127``,
+  ``Wq = round(W / scale)``. Computed once from the trained f32 params (no
+  calibration data needed).
+- **Activations**: symmetric per-token (per-row) int8, computed dynamically
+  inside the forward: ``s_t = max|x[t, :]| / 127``. Dynamic scales avoid any
+  calibration pass and track the activation range exactly.
+- **Matmul**: int8 × int8 → int32 on the MXU (``preferred_element_type``),
+  rescaled by ``s_t · scale_c`` in f32, cast back to the compute dtype.
+
+Measured on the v5e (fc1-shaped GEMM, M=114688 K=768 N=3072): bf16
+3.33 ms (162 TF/s), int8 2.86 ms (189 TOP/s), full w8a8 with dynamic act
+quant + rescale 2.80 ms — **1.19× over bf16**. Note XLA does NOT engage the
+chip's nominal 2× int8 MXU rate for plain ``dot_general``; the win is the
+halved activation bandwidth plus a small MXU gain, and the quant/rescale
+epilogues fuse for free.
+
+Quantization error: |dequant(Wq) − W| ≤ scale/2 elementwise; end-to-end
+logit error is validated in tests/test_quant.py against the f32 forward.
+
+reference: none — the reference (torch/Lightning) ships no quantized
+inference; this is a TPU-native serving capability beyond parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def materialize(model, variables, x):
+    """Build the int8 ``'quant'`` collection from trained f32 params.
+
+    ``model`` must be constructed with ``quant='w8a8'``. Runs one forward on
+    ``x`` with ``mutable='quant'`` — each quantized layer initializes its
+    ``kernel_q``/``kernel_scale`` variables from the bound trained kernel
+    (weight quantization is input-independent; activation scales are
+    dynamic, so no calibration data is needed — any correctly-shaped ``x``
+    works, including zeros).
+
+    Returns ``variables`` with the ``'quant'`` collection added.
+    """
+    _, mut = model.apply(variables, x, train=False, mutable="quant")
+    return {**variables, "quant": mut["quant"]}
+
+
+def quantize_weight(w, reduce_axes=(0,)):
+    """Symmetric per-output-channel int8 quantization of a weight tensor.
+
+    ``reduce_axes``: the contraction (input) axes of ``w`` — the scale is
+    computed per remaining (output) element group.
+
+    Returns ``(w_q int8, scale f32)`` with ``scale`` shaped like ``w`` with
+    the reduce axes removed. ``w ≈ w_q * scale`` (broadcast over the
+    contraction axes).
+    """
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, jnp.squeeze(scale, axis=reduce_axes)
+
+
+def quantize_act(x):
+    """Dynamic symmetric per-row int8 quantization over the last axis.
+
+    Returns ``(x_q int8, scale f32)`` with ``scale = x.shape[:-1] + (1,)``.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def int8_dot(x, w_q, w_scale, out_dtype):
+    """``x @ dequant(w_q)`` as an int8×int8→int32 MXU matmul.
+
+    ``x``: (..., K) float; ``w_q``: (K, *out) int8; ``w_scale``: (*out,) f32.
+    Contraction is over x's last axis and w's first; all remaining w axes
+    are output axes (supports the head-split (K, H, dh)-style kernels).
+    """
+    x_q, s = quantize_act(x)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ws = w_scale[(None,) * (x.ndim - 1)]  # broadcast over x batch dims
+    s = s.reshape(s.shape[:-1] + (1,) * (w_q.ndim - 1))
+    return (acc.astype(jnp.float32) * s * ws).astype(out_dtype)

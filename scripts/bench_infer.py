@@ -30,12 +30,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 CLIP = 220_500  # 5 s @ 44.1 kHz
 
 VARIANTS = {
-    # name: (model, batch, dtype, pipeline kwargs)
+    # name: (model, batch, dtype, pipeline kwargs[, quant])
     "ast_b1": ("ast", 1, "bfloat16", {}),
     "ast_b8": ("ast", 8, "bfloat16", {}),
     "ast_b64": ("ast", 64, "bfloat16", {}),
     "ast_small_b64": ("ast_small", 64, "bfloat16", {}),
     "ast_mini_b64": ("ast_mini", 64, "bfloat16", {}),
+    # int8 w8a8 serving quantization (ops/quant.py)
+    "ast_int8_b1": ("ast", 1, "bfloat16", {}, "w8a8"),
+    "ast_int8_b64": ("ast", 64, "bfloat16", {}, "w8a8"),
+    "ast_small_int8_b64": ("ast_small", 64, "bfloat16", {}, "w8a8"),
     "envnet_b64": ("envnet_v2", 64, "float32", {}),
     # the reference's 10-crop test-time protocol (preprocessing.py:857-884)
     "envnet_10crop_b16": ("envnet_v2", 16, "float32",
@@ -45,7 +49,7 @@ VARIANTS = {
 }
 
 
-def build(which: str, dtype, pipe_kwargs: dict):
+def build(which: str, dtype, pipe_kwargs: dict, quant: str | None = None):
     import jax.numpy as jnp
 
     from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
@@ -53,12 +57,16 @@ def build(which: str, dtype, pipe_kwargs: dict):
         ASTMiniViT, ASTModel, ASTViTSmall, CNN_ESC50, EnvNetV2, LeafModel,
     )
 
+    # serving is forward-only: remat off for the ViT family (irrelevant to
+    # inference, and the int8 'quant' collection initializes outside remat)
     if which == "ast":
-        return ASTModel(num_classes=50, dtype=dtype), "ast"
+        return ASTModel(num_classes=50, dtype=dtype, remat=False,
+                        quant=quant), "ast"
     if which == "ast_small":
-        return ASTViTSmall(num_classes=50, dtype=dtype), "ast"
+        return ASTViTSmall(num_classes=50, dtype=dtype, remat=False,
+                           quant=quant), "ast"
     if which == "ast_mini":
-        return ASTMiniViT(num_classes=50, dtype=dtype), "ast"
+        return ASTMiniViT(num_classes=50, dtype=dtype, quant=quant), "ast"
     if which == "envnet_v2":
         return EnvNetV2(num_classes=50, dtype=dtype), "envnet_v2"
     if which == "cnn_esc50":
@@ -69,14 +77,15 @@ def build(which: str, dtype, pipe_kwargs: dict):
 
 
 def run_variant(name: str, which: str, batch: int, dtype_name: str,
-                pipe_kwargs: dict, n_iters: int = 20) -> dict | None:
+                pipe_kwargs: dict, quant: str | None = None,
+                n_iters: int = 20) -> dict | None:
     import jax
     import jax.numpy as jnp
 
     from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
 
     dtype = jnp.dtype(dtype_name)
-    model, mode = build(which, dtype, pipe_kwargs)
+    model, mode = build(which, dtype, pipe_kwargs, quant)
     pipe = DevicePipeline(PipelineConfig(
         mode=mode, num_classes=50, window_length=5.0, padding_ratio=0.5,
         **pipe_kwargs,
@@ -92,6 +101,12 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         feats, train=False,
     )
+    if quant:
+        from dlsc_tpu.ops.quant import materialize
+
+        variables = jax.jit(
+            lambda v, f: materialize(model, v, f)
+        )(variables, feats)
 
     from dlsc_tpu.serving import make_infer
 

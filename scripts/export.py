@@ -81,11 +81,32 @@ def main(argv: list[str] | None = None) -> Path:
         print("WARNING: exporting randomly initialized weights "
               "(no +ckpt_path given) — smoke artifact only")
 
+    quant = cfg.select("quant", default=None)
+    if quant:
+        # int8 w8a8 serving quantization (ViT family; ops/quant.py): rebuild
+        # the model in quant mode (remat off — forward-only) and materialize
+        # the int8 collection from the (restored) params.
+        import dataclasses
+
+        from dlsc_tpu.ops.quant import materialize
+
+        if not hasattr(model, "quant"):
+            raise SystemExit(
+                f"+quant={quant} is only supported by the ViT family "
+                f"(ast/ast_small/ast_mini), not {type(model).__name__}")
+        replace = {"quant": str(quant)}
+        if hasattr(model, "remat"):
+            replace["remat"] = False
+        model = dataclasses.replace(model, **replace)
+        variables = jax.jit(
+            lambda v, f: materialize(model, v, f))(variables, feats)
+
     model_name = cfg.select("model._target_", default="model")
     path = export_model(
         model, pipe, variables, out, batch=batch, clip_samples=clip_samples,
         platforms=platforms,
-        meta={"model": str(model_name), "ckpt_path": str(ckpt or "")},
+        meta={"model": str(model_name), "ckpt_path": str(ckpt or ""),
+              **({"quant": str(quant)} if quant else {})},
     )
     print(f"exported serving artifact: {path}")
     return path
