@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> Path:
         model, pipe, variables, out, batch=batch, clip_samples=clip_samples,
         platforms=platforms,
         meta={"model": str(model_name), "ckpt_path": str(ckpt or ""),
+              "sample_rate": int(cfg.select("dataset.sample_rate",
+                                            default=44_100)),
               **({"quant": str(quant)} if quant else {})},
     )
     print(f"exported serving artifact: {path}")

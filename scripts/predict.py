@@ -5,6 +5,11 @@ Usage:
     python scripts/predict.py model=ast +ckpt_path=outputs/.../checkpoints/epoch-... \
         +files=[clip1.wav,clip2.wav] [+top_k=5]
 
+    # deployment mode — serve from a `scripts/export.py` artifact (no model
+    # code, config tree, or checkpoint plumbing involved):
+    python scripts/predict.py +artifact=exports/ast_mini \
+        +files=[clip1.wav,clip2.wav] [+top_k=5]
+
 Loads each WAV (any rate/channels — standardized like training data), runs
 the model's eval pipeline + forward on device, and prints top-k class
 indices with probabilities.
@@ -25,6 +30,47 @@ from dlsc_tpu.data import wav as W
 from dlsc_tpu.train import Trainer, build_from_cfg
 
 
+def _print_results(files, probs, top_k: int) -> list[dict]:
+    results = []
+    for f, p in zip(files, probs):
+        order = np.argsort(p)[::-1][:top_k]
+        entry = {"file": str(f),
+                 "top_k": [(int(c), float(p[c])) for c in order]}
+        results.append(entry)
+        pretty = ", ".join(f"class {c}: {v:.3f}" for c, v in entry["top_k"])
+        print(f"{f}: {pretty}")
+    return results
+
+
+def predict_from_artifact(artifact: str, files: list, top_k: int) -> list[dict]:
+    """Deployment path: classify via a `scripts/export.py` artifact.
+
+    The exported program has a static batch size; requests are padded to it
+    and served in chunks. Sample rate / clip length come from the manifest.
+    """
+    from dlsc_tpu.serving import load_exported
+
+    serve = load_exported(artifact)
+    man = serve.manifest
+    batch, clip_len = int(man["batch"]), int(man["clip_samples"])
+    sr = int(man.get("sample_rate", 44_100))
+
+    waves = []
+    for f in files:
+        x = W.standardize(f, sr)
+        waves.append(np.pad(x, (0, max(clip_len - len(x), 0)))[:clip_len])
+    wave = np.stack(waves).astype(np.float32)
+
+    probs = []
+    for i in range(0, len(files), batch):
+        chunk = wave[i:i + batch]
+        n = chunk.shape[0]
+        if n < batch:  # pad the ragged final chunk to the exported batch
+            chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
+        probs.append(np.asarray(serve(chunk))[:n])
+    return _print_results(files, np.concatenate(probs), top_k)
+
+
 def main(argv: list[str] | None = None) -> list[dict]:
     config_path, config_name, overrides = train_script.parse_cli(
         list(argv if argv is not None else sys.argv[1:])
@@ -32,9 +78,13 @@ def main(argv: list[str] | None = None) -> list[dict]:
     cfg = compose(config_path, config_name, overrides)
     files = cfg.select("files", default=None)
     ckpt = cfg.select("ckpt_path", default=None)
-    if not files or not ckpt:
-        raise SystemExit("pass +files=[a.wav,...] and +ckpt_path=<dir>")
+    artifact = cfg.select("artifact", default=None)
+    if not files or not (ckpt or artifact):
+        raise SystemExit(
+            "pass +files=[a.wav,...] and +ckpt_path=<dir> (or +artifact=<dir>)")
     top_k = int(cfg.select("top_k", default=5))
+    if artifact:
+        return predict_from_artifact(str(artifact), list(files), top_k)
     sr = int(cfg.select("dataset.sample_rate", default=44_100))
 
     import jax
@@ -70,15 +120,7 @@ def main(argv: list[str] | None = None) -> list[dict]:
         return jax.nn.softmax(out, axis=-1)
 
     probs = np.asarray(jax.device_get(forward(state, wave)))
-    results = []
-    for f, p in zip(files, probs):
-        order = np.argsort(p)[::-1][:top_k]
-        entry = {"file": str(f),
-                 "top_k": [(int(c), float(p[c])) for c in order]}
-        results.append(entry)
-        pretty = ", ".join(f"class {c}: {v:.3f}" for c, v in entry["top_k"])
-        print(f"{f}: {pretty}")
-    return results
+    return _print_results(files, probs, top_k)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,54 @@ def test_sharded_export_matches_single_device(tmp_path):
                      mesh=mesh)
 
 
+def test_predict_from_artifact_cli(tmp_path):
+    # deployment entry: scripts/predict.py +artifact=<dir> serves WAV files
+    # through the exported program with no model code / checkpoint plumbing.
+    # 3 files against a batch-2 artifact exercises the ragged-chunk padding.
+    from dlsc_tpu.data import wav as W
+    from scripts.predict import main as predict_main
+
+    model, pipe = _tiny_ast()
+    wave = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, CLIP)).astype(np.float32)
+    )
+    variables = _init(model, pipe, wave)
+    art = export_model(model, pipe, variables, tmp_path / "art",
+                       batch=2, clip_samples=CLIP, platforms=("cpu",),
+                       meta={"sample_rate": 44_100})
+
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(3):
+        x = (rng.standard_normal(CLIP) * 0.3).astype(np.float32)
+        p = tmp_path / f"clip{i}.wav"
+        W.write_wav(p, x, 44_100)
+        files.append(str(p))
+
+    results = predict_main(
+        [f"+artifact={tmp_path / 'art'}", f"+files=[{','.join(files)}]",
+         "+top_k=3"])
+    assert [r["file"] for r in results] == files
+    for r in results:
+        classes = [c for c, _ in r["top_k"]]
+        probs = [v for _, v in r["top_k"]]
+        assert len(classes) == 3 and all(0 <= c < 7 for c in classes)
+        assert probs == sorted(probs, reverse=True)
+
+    # chunked CLI results must agree with serving the standardized waves
+    # directly (validates padding/slicing of the ragged final chunk)
+    serve = load_exported(tmp_path / "art")
+    std = np.stack([W.standardize(f, 44_100)[:CLIP] for f in files])
+    direct = np.concatenate([
+        np.asarray(serve(np.pad(std[i:i + 2].astype(np.float32),
+                                ((0, 2 - len(std[i:i + 2])), (0, 0)))))
+        [:len(std[i:i + 2])]
+        for i in range(0, 3, 2)
+    ])
+    for r, p in zip(results, direct):
+        assert r["top_k"][0][0] == int(np.argmax(p))
+
+
 def test_multicrop_infer_path():
     # the 10-crop eval protocol goes through make_infer's crop-mean branch;
     # use a tiny raw-wave model (a Dense head over the crop) to keep it cheap
