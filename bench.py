@@ -28,38 +28,10 @@ CPU_BASELINE_PROVENANCE = "scripts/bench_cpu_baseline.py @ 2026-08-16, batch 2, 
 TARGET_MULTIPLIER = 20.0  # BASELINE.json: >=20x CPU end-to-end
 
 
-def _wait_for_backend(max_probes: int = 3) -> None:
-    """Ride out transient axon-TPU UNAVAILABLE windows before benchmarking.
-
-    Observed 2026-08-17: backend init can fail with UNAVAILABLE for an hour+,
-    and each failed init attempt itself blocks ~25 min. A failed init is
-    cached for the life of the process, so the probe must run in a fresh
-    subprocess; only when a probe succeeds does this process initialize its
-    own backend.
-    """
-    import subprocess
-    import sys
-
-    last = ""
-    for _ in range(max_probes):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=2400,
-            )
-        except subprocess.TimeoutExpired:
-            last = "probe timed out"
-            continue
-        if r.returncode == 0:
-            return
-        last = r.stderr.strip().splitlines()[-1] if r.stderr.strip() else "?"
-        if "UNAVAILABLE" not in last and "Unable to initialize" not in last:
-            break  # not the transient-outage signature; fail fast below
-    raise RuntimeError(f"backend unavailable after {max_probes} probes: {last}")
-
-
 def main() -> None:
-    _wait_for_backend()
+    from dlsc_tpu.utils import wait_for_backend
+
+    wait_for_backend()  # ride out transient axon UNAVAILABLE windows
     import jax
     import jax.numpy as jnp
 

@@ -1,5 +1,9 @@
 """Shared utilities: compilation cache, seeding, profiling helpers."""
 
-from dlsc_tpu.utils.runtime import enable_compilation_cache, fix_seed
+from dlsc_tpu.utils.runtime import (
+    enable_compilation_cache,
+    fix_seed,
+    wait_for_backend,
+)
 
-__all__ = ["enable_compilation_cache", "fix_seed"]
+__all__ = ["enable_compilation_cache", "fix_seed", "wait_for_backend"]

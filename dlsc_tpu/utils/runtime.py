@@ -36,3 +36,46 @@ def fix_seed(seed: int) -> None:
     randomness is explicit-key based and seeded by the Trainer."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def wait_for_backend(max_probes: int = 3) -> None:
+    """Ride out transient axon-TPU UNAVAILABLE windows before device work.
+
+    Observed 2026-08-17: backend init can fail with UNAVAILABLE for 1.5h+,
+    and each failed init attempt itself blocks ~25 min. A failed init is
+    cached for the life of the process, so the probe must run in a fresh
+    subprocess; only when a probe succeeds does the caller's process
+    initialize its own backend. No-op if this process already has a live
+    backend (probing can't help once init state is cached), or when not on
+    the default (device) platform path.
+    """
+    import subprocess
+    import sys
+
+    try:
+        from jax._src import xla_bridge
+
+        if hasattr(xla_bridge, "backends_are_initialized"):
+            if xla_bridge.backends_are_initialized():
+                return
+        elif getattr(xla_bridge, "_backends", None):
+            return
+    except Exception:
+        return
+
+    last = ""
+    for _ in range(max_probes):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            last = "probe timed out"
+            continue
+        if r.returncode == 0:
+            return
+        last = r.stderr.strip().splitlines()[-1] if r.stderr.strip() else "?"
+        if "UNAVAILABLE" not in last and "Unable to initialize" not in last:
+            break  # not the transient-outage signature; fail fast below
+    raise RuntimeError(f"backend unavailable after {max_probes} probes: {last}")
