@@ -666,6 +666,10 @@ class ASTViT(nn.Module):
         # (the pipeline-parallel runner) without a second compact method:
         # 'embed' → (tokens, n_real); 'finalize' → logits from a token
         # matrix; 'all' → the full forward. init() must use part='all'.
+        if self.quant not in (None, "w8a8"):
+            # an unknown mode would otherwise silently take the float path
+            raise ValueError(
+                f"unknown quant mode {self.quant!r} (supported: 'w8a8')")
         if part == "embed":
             return self.embed(x)
         if part == "finalize":

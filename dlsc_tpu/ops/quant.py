@@ -44,6 +44,10 @@ def materialize(model, variables, x):
     Returns ``variables`` with the ``'quant'`` collection added.
     """
     _, mut = model.apply(variables, x, train=False, mutable="quant")
+    if "quant" not in mut:
+        raise ValueError(
+            f"model produced no 'quant' collection — was it constructed with "
+            f"quant='w8a8'? (got quant={getattr(model, 'quant', None)!r})")
     return {**variables, "quant": mut["quant"]}
 
 

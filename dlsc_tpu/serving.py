@@ -154,6 +154,18 @@ def load_exported(art_dir: str | Path) -> Callable:
     import orbax.checkpoint as ocp
 
     variables = ocp.StandardCheckpointer().restore(art_dir / "variables")
+    # Upload the weights ONCE at load time (orbax restores host numpy arrays;
+    # leaving them in the closure would re-transfer the whole tree on every
+    # request). Per-leaf device_put — no leaf is near the axon single-transfer
+    # cliff. For a mesh-exported program, replicate over the same mesh shape.
+    if manifest.get("mesh"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shape = manifest["mesh"]
+        mesh = jax.make_mesh(tuple(shape.values()), tuple(shape.keys()))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    else:
+        variables = jax.device_put(variables)
 
     call = jax.jit(exp.call)
 

@@ -46,8 +46,9 @@ def wait_for_backend(max_probes: int = 3) -> None:
     cached for the life of the process, so the probe must run in a fresh
     subprocess; only when a probe succeeds does the caller's process
     initialize its own backend. No-op if this process already has a live
-    backend (probing can't help once init state is cached), or when not on
-    the default (device) platform path.
+    backend (probing can't help once init state is cached). NB: the probe
+    subprocess inherits the default (axon TPU) platform — don't call this
+    from code that intends to force the CPU platform anyway.
     """
     import subprocess
     import sys

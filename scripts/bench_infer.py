@@ -50,9 +50,6 @@ VARIANTS = {
 
 
 def build(which: str, dtype, pipe_kwargs: dict, quant: str | None = None):
-    import jax.numpy as jnp
-
-    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
     from dlsc_tpu.models import (
         ASTMiniViT, ASTModel, ASTViTSmall, CNN_ESC50, EnvNetV2, LeafModel,
     )

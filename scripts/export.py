@@ -63,11 +63,9 @@ def main(argv: list[str] | None = None) -> Path:
     feats, _ = jax.jit(pipe.eval_batch)(wave, jnp.zeros((2,), jnp.int32))
     if feats.ndim == 3 and pipe.cfg.mode == "envnet_v2":
         feats = feats[:, 0]
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        feats, train=False,
-    )
     if ckpt:
+        # init happens inside init_state; a second model.init here would pay
+        # a duplicate (minutes-long on the remote helper) compile for nothing
         trainer = Trainer(**cfg.trainer.to_dict(), enable_checkpointing=False)
         state = trainer.init_state(model, datamodule, built["optim_spec"],
                                    built["sched_spec"])
@@ -80,6 +78,10 @@ def main(argv: list[str] | None = None) -> Path:
     else:
         print("WARNING: exporting randomly initialized weights "
               "(no +ckpt_path given) — smoke artifact only")
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            feats, train=False,
+        )
 
     quant = cfg.select("quant", default=None)
     if quant:
