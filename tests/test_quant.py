@@ -113,6 +113,53 @@ def test_quant_rejects_training():
         model_q.apply(vq, x, train=True, rngs={"dropout": jax.random.key(0)})
 
 
+def test_unknown_quant_mode_fails_loudly():
+    x = _mel_input()
+    model_bad = ASTViT(**_VIT_KW, quant="int8")  # typo for 'w8a8'
+    with pytest.raises(ValueError, match="unknown quant mode"):
+        model_bad.init({"params": jax.random.key(0)}, x, train=False)
+    # materialize on a model that never produces a quant collection
+    model = ASTViT(**_VIT_KW)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    with pytest.raises(ValueError, match="no 'quant' collection"):
+        materialize(model, variables, x)
+
+
+def test_quantized_sharded_export_matches_single_device(tmp_path):
+    # quant x SPMD serving: batch sharded over the 8-virtual-device mesh,
+    # params + int8 quant collection replicated; must equal the unsharded
+    # quantized program
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.parallel import get_mesh
+    from dlsc_tpu.serving import export_model, load_exported, make_infer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    clip = 44_100
+    kw = dict(num_classes=7, emb_dim=32, depth=2, num_heads=2, patch_size=16,
+              patch_stride=16, overlap=0, dropout=0.0, dtype=jnp.float32,
+              use_flash=False)
+    model_q = ASTViT(**kw, quant="w8a8")
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=7))
+    wave = jnp.asarray(
+        np.random.default_rng(7).standard_normal((8, clip)).astype(np.float32))
+    feats, _ = jax.jit(pipe.eval_batch)(wave, jnp.zeros((8,), jnp.int32))
+    variables = jax.jit(ASTViT(**kw).init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, feats, train=False)
+    vq = materialize(model_q, variables, feats)
+
+    direct = jax.device_get(jax.jit(make_infer(model_q, pipe))(vq, wave))
+    mesh = get_mesh()
+    art = export_model(model_q, pipe, vq, tmp_path / "art", batch=8,
+                       clip_samples=clip, mesh=mesh, meta={"quant": "w8a8"})
+    serve = load_exported(art)
+    wave_sharded = jax.device_put(wave, NamedSharding(mesh, P("data")))
+    served = jax.device_get(serve(wave_sharded))
+    np.testing.assert_allclose(served, direct, rtol=2e-5, atol=1e-6)
+
+
 def test_quantized_export_roundtrip(tmp_path):
     from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
     from dlsc_tpu.serving import export_model, load_exported, make_infer
