@@ -40,6 +40,7 @@ VARIANTS = {
     "ast_int8_b1": ("ast", 1, "bfloat16", {}, "w8a8"),
     "ast_int8_b64": ("ast", 64, "bfloat16", {}, "w8a8"),
     "ast_small_int8_b64": ("ast_small", 64, "bfloat16", {}, "w8a8"),
+    "ast_mini_int8_b64": ("ast_mini", 64, "bfloat16", {}, "w8a8"),
     "envnet_b64": ("envnet_v2", 64, "float32", {}),
     # the reference's 10-crop test-time protocol (preprocessing.py:857-884)
     "envnet_10crop_b16": ("envnet_v2", 16, "float32",
