@@ -45,6 +45,7 @@ def make_fast_mha(
     block_kv_dkv_compute: int,
     dtype_name: str,
     n_split: int = 1,
+    interpret: bool = False,
 ):
     """Build the (H, N, dh) single-batch fast-MHA callable (vmap over B).
 
@@ -143,6 +144,7 @@ def make_fast_mha(
             bytes_accessed=(3 * N * dh * 2 + N * N * 4) * H,
             transcendentals=N * N * H,
         ),
+        interpret=interpret,
     )
 
     # dkv-grid mask info for the library fused backward (mirrors what
@@ -195,7 +197,7 @@ def make_fast_mha(
             k_layout=splash.QKVLayout.HEAD_DIM_MINOR,
             v_layout=splash.QKVLayout.HEAD_DIM_MINOR,
             mask_function=mask_function_dkv,
-            interpret=False,
+            interpret=interpret,
         )
         return dq, dk, dv
 
