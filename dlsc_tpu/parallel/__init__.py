@@ -8,6 +8,11 @@ from dlsc_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from dlsc_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    fsdp_state_shardings,
+    shard_state_fsdp,
+)
 from dlsc_tpu.parallel.pp import get_pp_mesh, pipeline_blocks, vit_apply_pp
 from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
 
@@ -17,6 +22,9 @@ __all__ = [
     "make_plan",
     "shard_batch",
     "replicate",
+    "fsdp_shardings",
+    "fsdp_state_shardings",
+    "shard_state_fsdp",
     "get_pp_mesh",
     "pipeline_blocks",
     "vit_apply_pp",
