@@ -156,6 +156,9 @@ class Trainer:
         device_data: bool | str = "auto",   # dataset-in-HBM mode ('auto':
                                             # on when the pool fits the cap)
         device_data_max_bytes: int = 6_000_000_000,
+        fsdp: bool = False,  # ZeRO-3-style param+optimizer sharding over the
+                             # mesh 'data' axis (parallel/fsdp.py); no-op on a
+                             # single chip. `+trainer.fsdp=true`
         **_: Any,
     ):
         self.profile_dir = profile_dir
@@ -178,6 +181,7 @@ class Trainer:
         self.plan = plan or make_plan(n_dev)
         self.device_data = device_data
         self.device_data_max_bytes = device_data_max_bytes
+        self.fsdp = fsdp
         self.state: TrainState | None = None
         self.ckpt_manager: CheckpointManager | None = None
         self.logged_metrics: dict[str, float] = {}
@@ -209,7 +213,7 @@ class Trainer:
             rng=jax.random.key(self.seed),
         )
 
-    def _compile_steps(self, pipeline, criterion):
+    def _compile_steps(self, pipeline, criterion, state=None):
         from dlsc_tpu.train.steps import (make_eval_step_indexed,
                                           make_train_step_indexed)
 
@@ -227,13 +231,22 @@ class Trainer:
             self._sharded = False
         else:
             rep, bat = plan.replicated, plan.batch
+            st = rep
+            if self.fsdp and state is not None:
+                # ZeRO-3: params + optimizer moments sharded over 'data'
+                # (small leaves stay replicated); jit lays the incoming
+                # replicated state out on first call, GSPMD inserts the
+                # per-layer all-gathers + gradient reduce-scatters.
+                from dlsc_tpu.parallel.fsdp import fsdp_state_shardings
+
+                st = fsdp_state_shardings(state, plan.mesh)
             # indexed steps take the replicated pool before the batch args
-            t_in = (rep, rep, rep, bat, bat) if indexed else (rep, rep, bat, bat)
-            e_in = (rep, rep, rep, bat, bat, bat) if indexed else (rep, rep, bat, bat, bat)
+            t_in = (st, rep, rep, bat, bat) if indexed else (st, rep, bat, bat)
+            e_in = (st, rep, rep, bat, bat, bat) if indexed else (st, rep, bat, bat, bat)
             self._train_step = jax.jit(
                 train, donate_argnums=(0, 1),
                 in_shardings=t_in,
-                out_shardings=(rep, rep, rep),
+                out_shardings=(st, rep, rep),
             )
             self._eval_step = jax.jit(
                 evals, donate_argnums=(1,),
@@ -344,7 +357,7 @@ class Trainer:
         self._pool_dev = None
         self._test_pool_dev = None
         self._use_device_data = False
-        self._compile_steps(pipeline, criterion)
+        self._compile_steps(pipeline, criterion, state)
         try:
             self._train_step.lower(
                 state, ms, np.zeros((bs, clip_t), wire_dtype), labels,
@@ -405,7 +418,7 @@ class Trainer:
             state = restore_state(ckpt_path, state)
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
         self._setup_device_data(datamodule)
-        self._compile_steps(pipeline, criterion)
+        self._compile_steps(pipeline, criterion, state)
         self._preflight_train_step(state, datamodule, pipeline, criterion)
 
         ckpt_cfg = dict(checkpoint_cfg or {})
@@ -558,7 +571,7 @@ class Trainer:
         pipeline = datamodule.pipeline
         self._setup_device_data(datamodule)
         if not hasattr(self, "_eval_step"):
-            self._compile_steps(pipeline, criterion)
+            self._compile_steps(pipeline, criterion, state)
         num_classes = datamodule.num_classes
         ms = MT.MetricState.create(num_classes)
         all_probs, all_labels = [], []

@@ -260,6 +260,40 @@ def test_full_fit_sharded_matches_single_device(dm_root):
 
 
 @pytest.mark.slow
+def test_full_fit_fsdp_matches_single_device(dm_root):
+    """Trainer(fsdp=True): ZeRO-3 param+optimizer sharding over the 8-device
+    mesh must not change training numerics (GSPMD all-gather/reduce-scatter
+    is a layout detail), and big leaves must come out of fit() genuinely
+    sharded over 'data'."""
+    import jax as _jax
+
+    if _jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(devices, fsdp=False):
+        dm = _dm(dm_root)
+        trainer = Trainer(max_epochs=2, enable_progress_bar=False,
+                          enable_checkpointing=False, seed=0, devices=devices,
+                          fsdp=fsdp)
+        state = trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+        return trainer.history, state
+
+    hist1, _ = run(1)
+    hist8, state = run("auto", fsdp=True)
+    assert len(hist1) == len(hist8) == 2
+    for h1, h8 in zip(hist1, hist8):
+        assert h1["train/acc"] == h8["train/acc"]
+        np.testing.assert_allclose(h1["train/loss"], h8["train/loss"],
+                                   rtol=1e-3)
+        np.testing.assert_allclose(h1["val/loss"], h8["val/loss"], rtol=1e-3)
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "sharding") and "data" in str(l.sharding.spec)
+    ]
+    assert sharded, "no parameter leaf was FSDP-sharded over 'data'"
+
+
+@pytest.mark.slow
 def test_device_resident_matches_host_path(dm_root):
     """The device-resident dataset mode (pool in device memory, per-step
     index gather) must produce identical training to the host wave-transfer
@@ -291,8 +325,8 @@ def test_preflight_hbm_fallback(dm_root, monkeypatch):
     degradation; observed on TPU: AST-Base @ b64 fp32 + ESC-50 pool)."""
     orig = Trainer._compile_steps
 
-    def patched(self, pipeline, criterion):
-        orig(self, pipeline, criterion)
+    def patched(self, pipeline, criterion, state=None):
+        orig(self, pipeline, criterion, state)
         if getattr(self, "_use_device_data", False):
             real = self._train_step
 
