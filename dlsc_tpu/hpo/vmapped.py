@@ -95,6 +95,11 @@ class VmappedTrialRunner:
         gradient_clip_val: float | None = 1.0,
         min_epochs: int = 0,
         seed: int = 0,
+        plan=None,  # MeshPlan: shard the trial axis over the mesh 'data'
+                    # axis — K lockstep trials spread across the chips
+                    # (K % n_data == 0), data batch replicated. Each chip
+                    # trains K/n_data trials; no cross-trial collectives
+                    # exist, so scaling is embarrassingly parallel.
     ):
         self.study = study
         self.model = model
@@ -109,6 +114,7 @@ class VmappedTrialRunner:
         self.gradient_clip_val = gradient_clip_val
         self.min_epochs = min_epochs
         self.seed = seed
+        self.plan = plan
 
     # -- trial batch construction ------------------------------------------------
     def _ask_batch(self, k: int) -> tuple[list[Trial], np.ndarray, np.ndarray, np.ndarray]:
@@ -185,15 +191,43 @@ class VmappedTrialRunner:
                 state, ms, wave, labels, mask
             )
 
+        v_train = jax.vmap(train_step_one, in_axes=(0, 0, 0, None, None))
+        v_eval = jax.vmap(eval_step_one, in_axes=(0, 0, None, None, None))
+        if self.plan is not None and self.plan.mesh.size > 1:
+            # trial parallelism over the mesh: the stacked (K, ...) trial
+            # state is sharded on its leading axis over 'data' (a sharding
+            # per jit argument is a pytree prefix — it applies to every
+            # leaf), the data batch is replicated. GSPMD needs no
+            # collectives: trials are independent programs in lockstep.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tsh = NamedSharding(self.plan.mesh, P("data"))
+            rep = self.plan.replicated
+            return {
+                "init_one": jax.jit(init_one),
+                "init_v": jax.jit(jax.vmap(init_one), out_shardings=tsh),
+                "train": jax.jit(v_train, donate_argnums=(0, 1),
+                                 in_shardings=(tsh, tsh, tsh, rep, rep),
+                                 out_shardings=(tsh, tsh, tsh)),
+                "eval": jax.jit(v_eval, donate_argnums=(1,),
+                                in_shardings=(tsh, tsh, rep, rep, rep),
+                                out_shardings=(tsh, tsh)),
+                "acc": jax.jit(jax.vmap(accuracy)),
+            }
         return {
             "init_one": jax.jit(init_one),
             "init_v": jax.jit(jax.vmap(init_one)),
-            "train": jax.jit(jax.vmap(train_step_one, in_axes=(0, 0, 0, None, None)),
-                             donate_argnums=(0, 1)),
-            "eval": jax.jit(jax.vmap(eval_step_one, in_axes=(0, 0, None, None, None)),
-                            donate_argnums=(1,)),
+            "train": jax.jit(v_train, donate_argnums=(0, 1)),
+            "eval": jax.jit(v_eval, donate_argnums=(1,)),
             "acc": jax.jit(jax.vmap(accuracy)),
         }
+
+    def _check_k(self, k: int) -> None:
+        if self.plan is not None and k % max(self.plan.n_data, 1):
+            raise ValueError(
+                f"k={k} trials must be a multiple of the mesh data axis "
+                f"({self.plan.n_data}) for mesh-sharded trial parallelism"
+            )
 
     @staticmethod
     def _scatter_slot(states, new_state, i: int):
@@ -204,6 +238,7 @@ class VmappedTrialRunner:
 
     # -- lockstep training ------------------------------------------------------
     def run_batch(self, k: int = 8) -> VmappedResult:
+        self._check_k(k)
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
@@ -265,6 +300,7 @@ class VmappedTrialRunner:
         ``epochs`` budget; the slot is then immediately re-initialized with a
         fresh suggestion. K stays constant so nothing recompiles.
         """
+        self._check_k(k)
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()

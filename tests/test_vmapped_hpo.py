@@ -120,3 +120,47 @@ def test_run_continuous_slot_recycling(dm, tmp_path):
         assert t.intermediate_values
     lrs = {round(t.params["optimizer.lr"], 10) for t in study.trials}
     assert len(lrs) == 8  # recycled slots received fresh suggestions
+
+
+@pytest.mark.slow
+def test_vmapped_mesh_sharded_trials_match(dm, tmp_path):
+    """Trial parallelism over the mesh (plan=make_plan(8)): 8 lockstep
+    trials sharded one-per-device must reproduce the single-device vmapped
+    run — same TPE suggestions (same sampler seed), same per-epoch
+    accuracies; the stacked state must be genuinely sharded over 'data'."""
+    import jax
+
+    from dlsc_tpu.parallel import make_plan
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(plan):
+        study = Study("vmap_mesh" + ("_p" if plan else ""),
+                      tmp_path / f"vm{bool(plan)}.db", "maximize",
+                      sampler=TPESampler(seed=0))
+        runner = VmappedTrialRunner(
+            study, VTiny(), dm.pipeline, dm, epochs=2, seed=0, plan=plan,
+        )
+        return runner.run_batch(k=8)
+
+    r1 = run(None)
+    r8 = run(make_plan(8))
+    for h1, h8 in zip(r1.history, r8.history):
+        np.testing.assert_allclose(h1["val_acc"], h8["val_acc"], atol=1e-9)
+        np.testing.assert_allclose(h1["train_acc"], h8["train_acc"], atol=1e-9)
+    # the trial axis actually lives sharded over 'data'
+    leaf = jax.tree_util.tree_leaves(r8.states.params)[0]
+    assert "data" in str(leaf.sharding.spec)
+    assert leaf.addressable_shards[0].data.shape[0] == 1  # 8 trials / 8 chips
+
+
+def test_vmapped_mesh_k_divisibility(dm, tmp_path):
+    from dlsc_tpu.parallel import make_plan
+
+    study = Study("vmap_div", tmp_path / "vd.db", "maximize",
+                  sampler=TPESampler(seed=0))
+    runner = VmappedTrialRunner(study, VTiny(), dm.pipeline, dm, epochs=1,
+                                plan=make_plan(8))
+    with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+        runner.run_batch(k=3)
