@@ -159,6 +159,13 @@ class Trainer:
         fsdp: bool = False,  # ZeRO-3-style param+optimizer sharding over the
                              # mesh 'data' axis (parallel/fsdp.py); no-op on a
                              # single chip. `+trainer.fsdp=true`
+        accumulate_grad_batches: int = 1,  # split each batch into M
+                             # sequential micro-batches under lax.scan inside
+                             # the jitted step (~M× lower activation memory,
+                             # one optimizer update per batch). NB: subdivides
+                             # the wire batch — for Lightning's
+                             # accumulate-M-loader-batches semantics, multiply
+                             # batch_size by M. See steps.make_train_step.
         **_: Any,
     ):
         self.profile_dir = profile_dir
@@ -182,6 +189,7 @@ class Trainer:
         self.device_data = device_data
         self.device_data_max_bytes = device_data_max_bytes
         self.fsdp = fsdp
+        self.accumulate_grad_batches = int(accumulate_grad_batches)
         self.state: TrainState | None = None
         self.ckpt_manager: CheckpointManager | None = None
         self.logged_metrics: dict[str, float] = {}
@@ -220,7 +228,7 @@ class Trainer:
         plan = self.plan
         indexed = getattr(self, "_use_device_data", False)
         train = (make_train_step_indexed if indexed else make_train_step)(
-            pipeline, criterion)
+            pipeline, criterion, self.accumulate_grad_batches)
         evals = (make_eval_step_indexed if indexed else make_eval_step)(
             pipeline, criterion)
         if plan.mesh.size == 1:

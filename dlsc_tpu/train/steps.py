@@ -26,9 +26,23 @@ from dlsc_tpu.train.state import TrainState
 
 
 def make_train_step(
-    pipeline: DevicePipeline, criterion: Callable
+    pipeline: DevicePipeline, criterion: Callable, accum: int = 1
 ) -> Callable:
-    """Returns train_step(state, metric_state, wave, labels) → (state, ms, loss)."""
+    """Returns train_step(state, metric_state, wave, labels) → (state, ms, loss).
+
+    ``accum`` > 1 enables gradient accumulation the TPU way: the batch is
+    split into ``accum`` sequential micro-batches under ``lax.scan`` inside
+    the same jitted program — activation memory drops ~accum× (only one
+    micro-batch's activations live at a time) while the optimizer still
+    updates once per batch with the mean gradient. NB the wire batch is the
+    *global* batch here (the device subdivides it); to reproduce Lightning's
+    ``accumulate_grad_batches=M`` over loader batches, multiply batch_size
+    by M. Micro-batch-scoped semantics (standard grad-accum caveats):
+    BatchNorm statistics and in-batch Mixup/BC partner pools see the
+    micro-batch, and pipeline/dropout RNG streams differ from the accum=1
+    program's."""
+    if accum > 1:
+        return _make_train_step_accum(pipeline, criterion, accum)
 
     def train_step(state: TrainState, ms: MetricState, wave, labels):
         rng, k_pipe, k_drop = jax.random.split(state.rng, 3)
@@ -64,14 +78,74 @@ def make_train_step(
     return train_step
 
 
+def _make_train_step_accum(
+    pipeline: DevicePipeline, criterion: Callable, accum: int
+) -> Callable:
+    """Gradient-accumulation variant of make_train_step (see its docstring)."""
+
+    def train_step(state: TrainState, ms: MetricState, wave, labels):
+        B = wave.shape[0]
+        if B % accum:
+            raise ValueError(
+                f"batch size {B} not divisible by accumulate_grad_batches="
+                f"{accum}")
+        mb = B // accum
+        rng, k_base = jax.random.split(state.rng)
+        mwave = wave.reshape(accum, mb, *wave.shape[1:])
+        mlab = labels.reshape(accum, mb, *labels.shape[1:])
+
+        def loss_fn(params, bs, w, l, k_pipe, k_drop):
+            inputs, y = pipeline.train_batch(w, l, k_pipe)
+            inputs = jax.lax.stop_gradient(inputs)
+            y = jax.lax.stop_gradient(y)
+            variables = {"params": params}
+            mutable = False
+            if bs is not None:
+                variables["batch_stats"] = bs
+                mutable = ["batch_stats"]
+            out = state.apply_fn(
+                variables, inputs, train=True,
+                rngs={"dropout": k_drop}, mutable=mutable,
+            )
+            logits, mut = out if mutable else (out, {})
+            return criterion(logits, y), (logits, y, mut.get("batch_stats"))
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro(carry, xs):
+            g_acc, bs, ms, loss_acc = carry
+            w, l, i = xs
+            k = jax.random.fold_in(k_base, i)
+            k_pipe, k_drop = jax.random.split(k)
+            (loss, (logits, y, nbs)), g = grad_fn(
+                state.params, bs, w, l, k_pipe, k_drop)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            ms = ms.update(logits, jnp.argmax(y, axis=-1), loss)
+            return (g_acc, nbs if nbs is not None else bs, ms,
+                    loss_acc + loss), None
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (g, new_bs, ms, loss_sum), _ = jax.lax.scan(
+            micro, (g0, state.batch_stats, ms, jnp.zeros((), jnp.float32)),
+            (mwave, mlab, jnp.arange(accum)),
+        )
+        grads = jax.tree_util.tree_map(lambda x: x / accum, g)
+        new_state = state.apply_gradients(grads).replace(
+            rng=rng, batch_stats=new_bs,
+        )
+        return new_state, ms, loss_sum / accum
+
+    return train_step
+
+
 def make_train_step_indexed(
-    pipeline: DevicePipeline, criterion: Callable
+    pipeline: DevicePipeline, criterion: Callable, accum: int = 1
 ) -> Callable:
     """Device-resident-dataset train step: the waveform pool lives in HBM and
     the step gathers its batch by index on chip (the TPU-native equivalent of
     the reference's host-RAM pre-load, esc50.py:167-191). Signature:
     train_step(state, ms, pool, idx, labels) → (state, ms, loss)."""
-    base = make_train_step(pipeline, criterion)
+    base = make_train_step(pipeline, criterion, accum)
 
     def train_step(state: TrainState, ms: MetricState, pool, idx, labels):
         wave = jnp.take(pool, idx, axis=0)

@@ -390,3 +390,73 @@ def test_pad_or_trim_op():
     np.testing.assert_array_equal(np.asarray(short[0, 10:20]), np.arange(10.0))
     long = pad_or_trim(x, 4)
     np.testing.assert_array_equal(np.asarray(long[0]), [3.0, 4.0, 5.0, 6.0])
+
+
+def test_grad_accum_matches_single_step():
+    """accum=4 (lax.scan micro-batching) must reproduce the accum=1 step
+    exactly on a deterministic path (no BN/dropout, no augmentation): mean
+    of micro-batch gradients == full-batch gradient for mean losses."""
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.train.metrics import MetricState
+    from dlsc_tpu.train.optim import build_optimizer, sgd
+    from dlsc_tpu.train.state import TrainState
+    from dlsc_tpu.train.steps import make_train_step
+
+    class Plain(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = x.reshape(x.shape[0], -1)
+            return nn.Dense(10)(x)
+
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=10,
+                                         use_pallas=False,
+                                         time_mask=0, freq_mask=0))
+    model = Plain()
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((8, 4000)).astype(np.float32) * 0.3)
+    labels = jnp.asarray((np.arange(8) % 10).astype(np.int32))
+    feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2], jax.random.key(0))
+    v = model.init(jax.random.key(0), feats, train=False)
+
+    def state():
+        tx, _ = build_optimizer(sgd(lr=1e-2), None, 4)
+        return TrainState.create(apply_fn=model.apply, params=v["params"],
+                                 batch_stats=None, tx=tx,
+                                 rng=jax.random.key(0))
+
+    crit = CrossEntropyLoss()
+    s1, m1, l1 = jax.jit(make_train_step(pipe, crit))(
+        state(), MetricState.create(10), wave, labels)
+    s4, m4, l4 = jax.jit(make_train_step(pipe, crit, accum=4))(
+        state(), MetricState.create(10), wave, labels)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-6)
+    assert int(m1.count) == int(m4.count) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_batch_divisibility():
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.train.steps import make_train_step
+
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=10,
+                                         use_pallas=False))
+    step = make_train_step(pipe, CrossEntropyLoss(), accum=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(None, None, jnp.zeros((8, 4000)), jnp.zeros((8,), jnp.int32))
+
+
+@pytest.mark.slow
+def test_trainer_grad_accum_fit(dm_root):
+    """trainer.accumulate_grad_batches=2 end-to-end (incl. BN/dropout models
+    and the device-resident indexed path): fits, evaluates, learns."""
+    dm = _dm(dm_root)
+    trainer = Trainer(max_epochs=2, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0,
+                      accumulate_grad_batches=2)
+    state = trainer.fit(TinyModel(), dm, adam(lr=3e-3))
+    assert int(state.step) == 2 * dm.steps_per_epoch  # one update per batch
+    results = trainer.test(dm, state=state, ckpt=None)
+    assert 0.0 <= results["test/acc"] <= 1.0
