@@ -72,12 +72,25 @@ def run_vmapped(cfg):
     manager = StudyManager.from_config(optuna_cfg)
     study = manager.create_study(load_if_exists=True)
 
+    plan = None
+    if vm.get("mesh", False):
+        # trial parallelism over the mesh: shard the K-trial axis over
+        # 'data' (one chip trains K/n_data trials; see SCALING.md).
+        # optuna.vmapped.mesh=true requires k % device_count == 0.
+        import jax
+
+        from dlsc_tpu.parallel import make_plan
+
+        if jax.device_count() > 1:
+            plan = make_plan()
+
     runner = VmappedTrialRunner(
         study, built["model"], datamodule.pipeline, datamodule,
         epochs=int(cfg.select("trainer.max_epochs", default=10)),
         gradient_clip_val=cfg.select("trainer.gradient_clip_val", default=1.0),
         min_epochs=int(optuna_cfg.get("min_epochs", 0)),
         seed=int(cfg.select("seed", default=42)),
+        plan=plan,
     )
     if vm.get("continuous", True):
         # slot recycling: pruned/finished slots refill with fresh suggestions

@@ -100,3 +100,31 @@ def test_optimize_hyperparams_cli(cli_tree, monkeypatch):
     assert (cli_tree / "outputs" / "best_config.yaml").exists()
     # the model-specific space was picked up via the _target_ module name
     assert "model.width" in study.trials[0].params
+
+
+@pytest.mark.slow
+def test_optimize_vmapped_mesh_cli(cli_tree, monkeypatch):
+    """optuna.vmapped.enabled + optuna.vmapped.mesh: K lockstep trials
+    sharded over the 8-device mesh through the real CLI."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    import scripts.optimize_hyperparams as O
+
+    monkeypatch.setenv("DLSC_TRACKING_DIR", str(cli_tree / "runs"))
+    study = O.main([
+        "--config-path", str(cli_tree / "configs"),
+        "--config-name", "optimization",
+        "optuna.study_name=optcli_vmesh",
+        "+optuna.vmapped.enabled=true",
+        "+optuna.vmapped.mesh=true",
+        "+optuna.vmapped.k=8",
+        "optuna.n_trials=8",
+    ])
+    assert len(study.trials) == 8
+    assert all(t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+               for t in study.trials)
+    lrs = {round(t.params["optimizer.lr"], 10) for t in study.trials}
+    assert len(lrs) == 8
