@@ -38,10 +38,15 @@ def fix_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
-def wait_for_backend(max_probes: int = 3) -> None:
+def wait_for_backend(max_probes: int | None = None) -> None:
     """Ride out transient axon-TPU UNAVAILABLE windows before device work.
 
-    Observed 2026-08-17: backend init can fail with UNAVAILABLE for 1.5h+,
+    ``max_probes`` defaults to ``$DLSC_WAIT_PROBES`` or 6 (~2.5 h at the
+    observed ~25 min per failed probe — outages of 5 h+ have been seen, so
+    driver-facing entry points err on the patient side; callers with their
+    own deadline pass a smaller value).
+
+    Observed 2026-08-17: backend init can fail with UNAVAILABLE for 5h+,
     and each failed init attempt itself blocks ~25 min. A failed init is
     cached for the life of the process, so the probe must run in a fresh
     subprocess; only when a probe succeeds does the caller's process
@@ -52,6 +57,9 @@ def wait_for_backend(max_probes: int = 3) -> None:
     """
     import subprocess
     import sys
+
+    if max_probes is None:
+        max_probes = int(os.environ.get("DLSC_WAIT_PROBES", "6"))
 
     try:
         from jax._src import xla_bridge
