@@ -46,7 +46,9 @@ class MicroBatcher:
     """
 
     def __init__(self, serve_fn, batch: int, window_ms: float = 5.0,
-                 timeout_s: float = 120.0):
+                 timeout_s: float = 600.0):
+        # timeout_s covers the FIRST request's jit compile too — minutes on
+        # remote-compile TPU backends; steady-state requests take ms.
         self._serve = serve_fn
         self.batch = int(batch)
         self.window_s = float(window_ms) / 1e3
