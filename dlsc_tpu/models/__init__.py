@@ -10,6 +10,7 @@ from dlsc_tpu.models.envnet_v2 import EnvNetV2
 from dlsc_tpu.models.ast import ASTModel
 from dlsc_tpu.models.ast_small import ASTViTSmall
 from dlsc_tpu.models.ast_mini import ASTMiniViT
+from dlsc_tpu.models.ast_moe import ASTMoE
 from dlsc_tpu.models.leaf import LeafModel
 from dlsc_tpu.models.cnn_esc50 import CNN_ESC50
 
@@ -18,6 +19,7 @@ __all__ = [
     "ASTModel",
     "ASTViTSmall",
     "ASTMiniViT",
+    "ASTMoE",
     "LeafModel",
     "CNN_ESC50",
 ]

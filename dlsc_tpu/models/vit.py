@@ -476,6 +476,10 @@ class Block(nn.Module):
                                 # reduce-scatter + all-gather pairs and the
                                 # LN/dropout/residual work runs token-sharded.
     quant: str | None = None    # int8 serving quantization (see Attention)
+    moe: Any = None             # MoeSpec (models/moe.py): replace the dense
+                                # MLP with a top-k routed mixture of experts
+    expert_sharding: Any = None # EP: NamedSharding for the MoE (B,E,C,D)
+                                # dispatch buffers (expert axis on the mesh)
 
     def _sp(self, x):
         if self.token_sharding is None:
@@ -491,8 +495,16 @@ class Block(nn.Module):
                                    self.n_real, self.quant,
                                    name="attn")(y, train))
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = self._sp(x + Mlp(self.dim, self.mlp_ratio, self.dropout,
-                             self.dtype, self.quant, name="mlp")(y, train))
+        if self.moe is not None:
+            from dlsc_tpu.models.moe import MoeMlp
+
+            mlp_out = MoeMlp(self.dim, self.moe, self.mlp_ratio, self.dropout,
+                             self.dtype, self.expert_sharding,
+                             name="moe")(y, train)
+        else:
+            mlp_out = Mlp(self.dim, self.mlp_ratio, self.dropout,
+                          self.dtype, self.quant, name="mlp")(y, train)
+        x = self._sp(x + mlp_out)
         return x
 
 
@@ -510,12 +522,15 @@ class _ScanBlock(nn.Module):
     n_real: int | None = None
     token_sharding: Any = None
     quant: str | None = None
+    moe: Any = None
+    expert_sharding: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
                   self.attn_impl, self.n_real, self.token_sharding, self.quant,
+                  self.moe, self.expert_sharding,
                   name="block")(x, train)
         return x, None
 
@@ -570,6 +585,13 @@ class ASTViT(nn.Module):
                                # materialize the int8 'quant' collection
                                # from trained params via
                                # dlsc_tpu.ops.quant-style mutable apply.
+    moe: Any = None            # MoeSpec or dict (models/moe.py): every block's
+                               # MLP becomes a top-k routed mixture of experts
+                               # (uniform across blocks — required by the scan
+                               # layout). Aux losses are sown as 'moe_aux' and
+                               # collected by the train step.
+    expert_sharding: Any = None  # EP: NamedSharding for the MoE dispatch
+                                 # buffers, e.g. P('data', 'model', None, None)
 
     @property
     def t_dim(self) -> int:
@@ -670,6 +692,8 @@ class ASTViT(nn.Module):
             # an unknown mode would otherwise silently take the float path
             raise ValueError(
                 f"unknown quant mode {self.quant!r} (supported: 'w8a8')")
+        if self.quant and self.moe is not None:
+            raise ValueError("int8 quant mode does not support MoE blocks")
         if part == "embed":
             return self.embed(x)
         if part == "finalize":
@@ -678,6 +702,9 @@ class ASTViT(nn.Module):
             raise ValueError(f"unknown part {part!r}")
         x, n_real = self.embed(x)
 
+        from dlsc_tpu.models.moe import as_moe_spec
+
+        moe = as_moe_spec(self.moe)
         remat_kw = remat_kwargs(self.remat_policy)
         if self.scan_blocks:
             body = _ScanBlock
@@ -685,7 +712,7 @@ class ASTViT(nn.Module):
                 body = nn.remat(body, **remat_kw)
             scanned = nn.scan(
                 body,
-                variable_axes={"params": 0, "quant": 0},
+                variable_axes={"params": 0, "quant": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,  # `train` is loop-invariant
@@ -694,7 +721,8 @@ class ASTViT(nn.Module):
               attn_dropout=self.attn_dropout, dtype=self.dtype,
               use_flash=self.use_flash, attn_impl=self.attn_impl,
               n_real=n_real, token_sharding=self.token_sharding,
-              quant=self.quant, name="blocks")
+              quant=self.quant, moe=moe,
+              expert_sharding=self.expert_sharding, name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
@@ -704,6 +732,7 @@ class ASTViT(nn.Module):
                     attn_dropout=self.attn_dropout, dtype=self.dtype,
                     use_flash=self.use_flash, attn_impl=self.attn_impl,
                     n_real=n_real, token_sharding=self.token_sharding,
-                    quant=self.quant, name=f"blocks_{i}",
+                    quant=self.quant, moe=moe,
+                    expert_sharding=self.expert_sharding, name=f"blocks_{i}",
                 )(x, train)
         return self.finalize(x)

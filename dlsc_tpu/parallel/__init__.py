@@ -15,8 +15,16 @@ from dlsc_tpu.parallel.fsdp import (
 )
 from dlsc_tpu.parallel.pp import get_pp_mesh, pipeline_blocks, vit_apply_pp
 from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
+from dlsc_tpu.parallel.ep import (
+    expert_sharding,
+    moe_param_shardings,
+    shard_params_ep,
+)
 
 __all__ = [
+    "expert_sharding",
+    "moe_param_shardings",
+    "shard_params_ep",
     "MeshPlan",
     "get_mesh",
     "make_plan",

@@ -159,6 +159,11 @@ class Trainer:
         fsdp: bool = False,  # ZeRO-3-style param+optimizer sharding over the
                              # mesh 'data' axis (parallel/fsdp.py); no-op on a
                              # single chip. `+trainer.fsdp=true`
+        expert_parallel: int = 1,  # EP degree for MoE models (model=ast_moe):
+                             # builds a ('data', 'model') mesh with this many
+                             # devices on 'model', shards the stacked expert
+                             # weights + dispatch buffers over it
+                             # (parallel/ep.py). `+trainer.expert_parallel=2`
         accumulate_grad_batches: int = 1,  # split each batch into M
                              # sequential micro-batches under lax.scan inside
                              # the jitted step (~M× lower activation memory,
@@ -183,6 +188,14 @@ class Trainer:
         if debug_nans:
             jax.config.update("jax_debug_nans", True)  # sanitizer toggle (§5.2)
         n_dev = None if devices in ("auto", None) else int(devices)
+        self.expert_parallel = int(expert_parallel)
+        if self.expert_parallel > 1:
+            if (n_dev or jax.device_count()) < self.expert_parallel:
+                raise ValueError(
+                    f"expert_parallel={self.expert_parallel} needs at least "
+                    f"that many devices (have {n_dev or jax.device_count()})")
+            plan = plan or make_plan(n_dev,
+                                     model_parallel=self.expert_parallel)
         if plan is None and (n_dev or jax.device_count()) == 1:
             plan = _SingleDevicePlan()  # no mesh on a single chip
         self.plan = plan or make_plan(n_dev)
@@ -240,6 +253,7 @@ class Trainer:
         else:
             rep, bat = plan.replicated, plan.batch
             st = rep
+            ep_on = self.expert_parallel > 1 and state is not None
             if self.fsdp and state is not None:
                 # ZeRO-3: params + optimizer moments sharded over 'data'
                 # (small leaves stay replicated); jit lays the incoming
@@ -247,7 +261,19 @@ class Trainer:
                 # per-layer all-gathers + gradient reduce-scatters.
                 from dlsc_tpu.parallel.fsdp import fsdp_state_shardings
 
-                st = fsdp_state_shardings(state, plan.mesh)
+                base = None
+                if ep_on:  # ZeRO + EP: expert dim on 'model', rest on 'data'
+                    from dlsc_tpu.parallel.ep import moe_param_shardings
+
+                    base = moe_param_shardings(state.params, plan.mesh)
+                st = fsdp_state_shardings(state, plan.mesh, base_params=base)
+            elif ep_on:
+                # EP: stacked expert weights (+ their Adam moments) sharded
+                # over 'model'; jit lays the state out on first call and
+                # GSPMD inserts the dispatch/combine all-to-alls.
+                from dlsc_tpu.parallel.ep import ep_state_shardings
+
+                st = ep_state_shardings(state, plan.mesh)
             # indexed steps take the replicated pool before the batch args
             t_in = (st, rep, rep, bat, bat) if indexed else (st, rep, bat, bat)
             e_in = (st, rep, rep, bat, bat, bat) if indexed else (st, rep, bat, bat, bat)
@@ -406,6 +432,18 @@ class Trainer:
         datamodule.setup()
         pipeline = datamodule.pipeline
         num_classes = datamodule.num_classes
+
+        if self.expert_parallel > 1:
+            if getattr(model, "moe", None) is None:
+                raise ValueError(
+                    "trainer.expert_parallel requires a MoE model "
+                    "(e.g. model=ast_moe)")
+            from dlsc_tpu.parallel.ep import expert_sharding
+
+            # constrain the (B, E, C, D) dispatch buffers onto the mesh so
+            # expert compute stays local (captured in state.apply_fn)
+            model = model.clone(
+                expert_sharding=expert_sharding(self.plan.mesh))
 
         import logging
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from dlsc_tpu.data.pipeline import DevicePipeline
+from dlsc_tpu.models.moe import collect_moe_aux
 from dlsc_tpu.train.metrics import MetricState
 from dlsc_tpu.train.state import TrainState
 
@@ -52,16 +53,19 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = False
+            # 'intermediates' is always mutable so MoE blocks can sow their
+            # (pre-weighted) aux losses; models that sow nothing return an
+            # empty dict at zero cost.
+            mutable = ["intermediates"]
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = state.apply_fn(
+                mutable.append("batch_stats")
+            logits, mut = state.apply_fn(
                 variables, inputs, train=True,
                 rngs={"dropout": k_drop}, mutable=mutable,
             )
-            logits, mut = out if mutable else (out, {})
-            loss = criterion(logits, y)
+            loss = criterion(logits, y) + collect_moe_aux(
+                mut.get("intermediates"))
             return loss, (logits, mut.get("batch_stats"))
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -99,16 +103,17 @@ def _make_train_step_accum(
             inputs = jax.lax.stop_gradient(inputs)
             y = jax.lax.stop_gradient(y)
             variables = {"params": params}
-            mutable = False
+            mutable = ["intermediates"]
             if bs is not None:
                 variables["batch_stats"] = bs
-                mutable = ["batch_stats"]
-            out = state.apply_fn(
+                mutable.append("batch_stats")
+            logits, mut = state.apply_fn(
                 variables, inputs, train=True,
                 rngs={"dropout": k_drop}, mutable=mutable,
             )
-            logits, mut = out if mutable else (out, {})
-            return criterion(logits, y), (logits, y, mut.get("batch_stats"))
+            loss = criterion(logits, y) + collect_moe_aux(
+                mut.get("intermediates"))
+            return loss, (logits, y, mut.get("batch_stats"))
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

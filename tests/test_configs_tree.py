@@ -7,7 +7,8 @@ import pytest
 from dlsc_tpu.config import compose, instantiate
 
 CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
-MODELS = ["envnet_v2", "ast", "ast_small", "ast_mini", "leaf", "cnn_esc50"]
+MODELS = ["envnet_v2", "ast", "ast_small", "ast_mini", "ast_moe", "leaf",
+          "cnn_esc50"]
 
 
 @pytest.mark.parametrize("model", MODELS)
