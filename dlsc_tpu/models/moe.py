@@ -80,13 +80,23 @@ class MoeMlp(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     expert_sharding: Any = None
+    n_real: int | None = None  # true token count under encoder-wide padding
+                               # (vit.py embed): pad tokens must not be
+                               # routed — they would pile onto one expert
+                               # (identical post-LN rows → identical logits),
+                               # steal capacity from real tokens, and skew
+                               # the aux-loss statistics. Tokens >= n_real
+                               # get no expert (output 0) and are excluded
+                               # from the aux means.
 
     @nn.compact
     def __call__(self, x, train: bool):
         B, N, D = x.shape
         E, K = self.spec.n_experts, self.spec.top_k
         F = int(self.dim * self.ratio)
-        C = max(1, -(-K * N * int(100 * self.spec.capacity_factor) // (100 * E)))
+        n_real = N if self.n_real is None else min(self.n_real, N)
+        C = max(1, -(-K * n_real * int(100 * self.spec.capacity_factor)
+                     // (100 * E)))
 
         # --- router (f32) ---------------------------------------------------
         logits = nn.Dense(
@@ -102,11 +112,18 @@ class MoeMlp(nn.Module):
         # --- capacity positions (stage-major priority: all 1st choices rank
         # before any 2nd choice, ties broken by token order) ----------------
         assign = jax.nn.one_hot(topi, E, dtype=jnp.float32)   # (B, N, K, E)
+        valid = None
+        if n_real < N:
+            valid = (jnp.arange(N) < n_real).astype(jnp.float32)  # (N,)
+            assign = assign * valid[None, :, None, None]  # pad: no assignment
         am = assign.transpose(0, 2, 1, 3).reshape(B, K * N, E)
         pos_flat = jnp.cumsum(am, axis=1) - 1.0               # (B, K*N, E)
         pos_stage = pos_flat.reshape(B, K, N, E).transpose(0, 2, 1, 3)
         pos = jnp.sum(pos_stage * assign, axis=-1)            # (B, N, K)
         keep = (pos < C).astype(x.dtype)                      # (B, N, K)
+        if valid is not None:
+            # pad tokens have assign == 0 and pos == 0 < C; mask them out
+            keep = keep * valid[None, :, None].astype(x.dtype)
         pi = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
         b_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, N, K))
 
@@ -140,11 +157,17 @@ class MoeMlp(nn.Module):
         )
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
 
-        # --- aux losses (pre-weighted; collected by the train step) ---------
-        frac = jnp.mean(assign[:, :, 0, :], axis=(0, 1))      # routed fraction
-        prob = jnp.mean(gates, axis=(0, 1))                   # mean gate prob
+        # --- aux losses over REAL tokens only (pre-weighted; collected by
+        # the train step) ----------------------------------------------------
+        nv = float(B * n_real)
+        frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv  # routed fraction
+        gv = gates if valid is None else gates * valid[None, :, None]
+        prob = jnp.sum(gv, axis=(0, 1)) / nv                  # mean gate prob
         balance = E * jnp.sum(frac * prob)
-        z = jnp.mean(jax.scipy.special.logsumexp(logits, axis=-1) ** 2)
+        z2 = jax.scipy.special.logsumexp(logits, axis=-1) ** 2
+        if valid is not None:
+            z2 = z2 * valid[None, :]
+        z = jnp.sum(z2) / nv
         self.sow(
             "intermediates", "moe_aux",
             self.spec.aux_weight * balance + self.spec.router_z_weight * z,
@@ -162,9 +185,10 @@ def collect_moe_aux(intermediates: Any) -> jnp.ndarray | float:
     (tuple-valued sow entries; stacked along depth under nn.scan)."""
     if not intermediates:
         return 0.0
+    from dlsc_tpu.parallel.mesh import path_keys
+
     total = 0.0
     for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]:
-        keys = [getattr(p, "key", str(p)) for p in path]
-        if any(k == "moe_aux" for k in keys):
+        if any(k == "moe_aux" for k in path_keys(path)):
             total = total + jnp.sum(leaf)
     return total

@@ -500,7 +500,7 @@ class Block(nn.Module):
 
             mlp_out = MoeMlp(self.dim, self.moe, self.mlp_ratio, self.dropout,
                              self.dtype, self.expert_sharding,
-                             name="moe")(y, train)
+                             n_real=self.n_real, name="moe")(y, train)
         else:
             mlp_out = Mlp(self.dim, self.mlp_ratio, self.dropout,
                           self.dtype, self.quant, name="mlp")(y, train)
@@ -653,8 +653,10 @@ class ASTViT(nn.Module):
         # out slice copies cost ~124 ms/step on AST-Base @ B=64 (measured,
         # bench_micro attn_ctx_grad: 860 → 748 ms). Pad rows are isolated in
         # the kernels via segment ids (n_real) and masked on the dense
-        # fallback; LN/MLP on pad rows is harmless and the head reads only
-        # the CLS token (index 0). Costs ~9% extra matmul rows at AST shapes.
+        # fallback; LN/MLP on pad rows is harmless (and MoE blocks exclude
+        # them from routing/capacity/aux via the same n_real) and the head
+        # reads only the CLS token (index 0). Costs ~9% extra matmul rows at
+        # AST shapes.
         n_real = None
         n_tok = N + 1
         pad_ok = (

@@ -16,13 +16,17 @@ from dlsc_tpu.parallel.fsdp import (
 from dlsc_tpu.parallel.pp import get_pp_mesh, pipeline_blocks, vit_apply_pp
 from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
 from dlsc_tpu.parallel.ep import (
+    ep_state_shardings,
     expert_sharding,
+    fsdp_ep_state_shardings,
     moe_param_shardings,
     shard_params_ep,
 )
 
 __all__ = [
+    "ep_state_shardings",
     "expert_sharding",
+    "fsdp_ep_state_shardings",
     "moe_param_shardings",
     "shard_params_ep",
     "MeshPlan",

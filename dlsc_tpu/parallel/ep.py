@@ -20,6 +20,8 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from dlsc_tpu.parallel.mesh import path_keys
+
 #: MoeMlp parameter names whose expert axis sits 3 dims from the end
 #: (..., E, D, F); biases carry it 2 dims from the end (..., E, F).
 _KERNELS = ("wi", "wo")
@@ -55,8 +57,7 @@ def moe_param_shardings(
     )
     out = []
     for (path, leaf), (_, b) in zip(flat, base_flat):
-        keys = [getattr(p, "key", str(p)) for p in path]
-        spec = _ep_spec(keys, leaf.ndim, axis)
+        spec = _ep_spec(path_keys(path), leaf.ndim, axis)
         if spec is None:
             out.append(b if isinstance(b, NamedSharding)
                        else NamedSharding(mesh, b))
@@ -80,6 +81,26 @@ def shard_params_ep(
     return jax.tree_util.tree_map(jax.device_put, params, sh)
 
 
+def fsdp_ep_state_shardings(state: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """ZeRO-3 + EP for a whole TrainState: every leaf whose path marks it as
+    a MoE expert weight — or an optimizer moment mirroring one (the moment
+    subtrees carry the same 'moe'/wi/wo/bi/bo keys) — gets the expert dim on
+    ``axis``, then 'data' lands on the largest still-free dimension via the
+    size-gated FSDP rule. Params and moments get identical decisions, unlike
+    ``fsdp_state_shardings(base_params=...)`` which applies the base to
+    params only."""
+    from dlsc_tpu.parallel.fsdp import add_data_axis
+
+    def one(path, leaf):
+        shape = jax.numpy.shape(leaf)
+        spec = _ep_spec(path_keys(path), len(shape), axis)
+        return NamedSharding(
+            mesh, add_data_axis(spec, shape, mesh.shape["data"])
+        )
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
 def ep_state_shardings(state: Any, mesh: Mesh, axis: str = "model") -> Any:
     """Shardings for a whole TrainState under EP: MoE expert weights — and
     the optimizer moments mirroring them (their tree paths contain the same
@@ -87,8 +108,7 @@ def ep_state_shardings(state: Any, mesh: Mesh, axis: str = "model") -> Any:
     replicated. Valid as jit in_shardings/out_shardings for the train step
     (cf. parallel.fsdp.fsdp_state_shardings)."""
     def one(path, leaf):
-        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        spec = _ep_spec(keys, jax.numpy.ndim(leaf), axis)
+        spec = _ep_spec(path_keys(path), jax.numpy.ndim(leaf), axis)
         return NamedSharding(mesh, spec if spec is not None else P())
 
     return jax.tree_util.tree_map_with_path(one, state)

@@ -24,6 +24,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def path_keys(path) -> list[str]:
+    """Stringified keys of a jax key-path (DictKey.key / GetAttrKey.name /
+    SequenceKey fallback) — the one shared implementation for every
+    path-pattern sharding rule (tp.py, ep.py, models/moe.py)."""
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
 def get_mesh(
     n_devices: int | None = None,
     model_parallel: int = 1,

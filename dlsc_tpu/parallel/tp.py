@@ -24,9 +24,11 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+from dlsc_tpu.parallel.mesh import path_keys
+
+
 def _rule(path: tuple[str, ...], ndim: int) -> P:
-    keys = [getattr(p, "key", str(p)) for p in path]
-    joined = "/".join(keys)
+    keys = path_keys(path)
     def last_dim(spec):  # shard the trailing dim, leading dims replicated
         return P(*([None] * (ndim - 1) + [spec]))
 

@@ -259,14 +259,16 @@ class Trainer:
                 # (small leaves stay replicated); jit lays the incoming
                 # replicated state out on first call, GSPMD inserts the
                 # per-layer all-gathers + gradient reduce-scatters.
-                from dlsc_tpu.parallel.fsdp import fsdp_state_shardings
+                if ep_on:
+                    # ZeRO + EP: expert dim on 'model' for the expert weights
+                    # AND their moments, 'data' on the largest free dim
+                    from dlsc_tpu.parallel.ep import fsdp_ep_state_shardings
 
-                base = None
-                if ep_on:  # ZeRO + EP: expert dim on 'model', rest on 'data'
-                    from dlsc_tpu.parallel.ep import moe_param_shardings
+                    st = fsdp_ep_state_shardings(state, plan.mesh)
+                else:
+                    from dlsc_tpu.parallel.fsdp import fsdp_state_shardings
 
-                    base = moe_param_shardings(state.params, plan.mesh)
-                st = fsdp_state_shardings(state, plan.mesh, base_params=base)
+                    st = fsdp_state_shardings(state, plan.mesh)
             elif ep_on:
                 # EP: stacked expert weights (+ their Adam moments) sharded
                 # over 'model'; jit lays the state out on first call and
@@ -438,6 +440,14 @@ class Trainer:
                 raise ValueError(
                     "trainer.expert_parallel requires a MoE model "
                     "(e.g. model=ast_moe)")
+            from dlsc_tpu.models.moe import as_moe_spec
+
+            n_exp = as_moe_spec(model.moe).n_experts
+            if n_exp % self.expert_parallel:
+                # uneven expert sharding would silently pad: half-idle chips
+                raise ValueError(
+                    f"model.n_experts={n_exp} must be divisible by "
+                    f"trainer.expert_parallel={self.expert_parallel}")
             from dlsc_tpu.parallel.ep import expert_sharding
 
             # constrain the (B, E, C, D) dispatch buffers onto the mesh so

@@ -80,6 +80,61 @@ def test_capacity_drops_tokens_to_zero():
     assert zero_rows < N  # but something was routed
 
 
+def test_pad_tokens_not_routed():
+    """Under encoder-wide padding (vit.py n_real), pad tokens must get no
+    expert (zero output), steal no capacity, and leave real-token routing
+    identical to the unpadded run."""
+    B, R, D = 2, 12, 32
+    N = 16  # 4 pad tokens
+    x = _tokens(B, N, D)
+    spec = MoeSpec(n_experts=2, top_k=2, capacity_factor=1.0)
+    m_pad = MoeMlp(32, spec, n_real=R)
+    m_ref = MoeMlp(32, spec)
+    v = m_pad.init(jax.random.key(0), x, train=False)  # shapes are N-free
+    y_pad, mut_pad = m_pad.apply(v, x, train=False,
+                                 mutable=["intermediates"])
+    y_ref, mut_ref = m_ref.apply(v, x[:, :R], train=False,
+                                 mutable=["intermediates"])
+    # pad rows: exactly zero
+    assert np.all(np.asarray(y_pad[:, R:]) == 0.0)
+    # real rows: identical routing/outputs to the unpadded run
+    np.testing.assert_allclose(np.asarray(y_pad[:, :R]), np.asarray(y_ref),
+                               atol=1e-6)
+    # aux statistics identical (pad tokens excluded from the means)
+    np.testing.assert_allclose(float(collect_moe_aux(mut_pad["intermediates"])),
+                               float(collect_moe_aux(mut_ref["intermediates"])),
+                               rtol=1e-6)
+
+
+def test_fsdp_ep_state_shardings_cover_moments():
+    """ZeRO + EP: the Adam moments mirroring the expert weights must carry
+    the expert-axis sharding too (params and moments: identical decisions)."""
+    from dlsc_tpu.parallel import get_mesh
+    from dlsc_tpu.parallel.ep import fsdp_ep_state_shardings
+    from dlsc_tpu.train.optim import adam, build_optimizer
+    from dlsc_tpu.train.state import TrainState
+
+    model = ASTViT(num_classes=5, emb_dim=64, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dtype=jnp.float32,
+                   moe={"n_experts": 4, "top_k": 1}, scan_blocks=True)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 128, 64)), train=False)
+    tx, _ = build_optimizer(adam(lr=1e-3), None, 1, None)
+    state = TrainState.create(apply_fn=model.apply, params=v["params"],
+                              batch_stats=None, tx=tx, rng=jax.random.key(0))
+    mesh = get_mesh(8, model_parallel=2)
+    sh = fsdp_ep_state_shardings(state, mesh)
+    wi_p = sh.params["blocks"]["block"]["moe"]["wi"].spec
+    assert "model" in str(wi_p) and "data" in str(wi_p)
+    # find the Adam mu leaf for the same param and assert the same layout
+    found = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "wi" in keys and "moe" in keys:
+            found.append(leaf.spec)
+    assert found, "no expert-weight moments found in opt_state"
+    assert all("model" in str(s) for s in found), found
+
+
 def test_router_gradient_flows():
     x = _tokens()
     m = MoeMlp(32, MoeSpec(n_experts=4, top_k=2))
@@ -263,3 +318,10 @@ def test_trainer_expert_parallel_fit(tmp_path):
         Trainer(max_epochs=1, expert_parallel=2,
                 enable_progress_bar=False,
                 enable_checkpointing=False).fit(TinyModel(), dm, adam(lr=1e-3))
+
+    # indivisible expert count: loud error instead of silent GSPMD padding
+    odd = model.clone(moe={"n_experts": 3, "top_k": 1})
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(max_epochs=1, expert_parallel=2,
+                enable_progress_bar=False,
+                enable_checkpointing=False).fit(odd, dm, adam(lr=1e-3))
