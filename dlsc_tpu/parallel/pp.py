@@ -238,7 +238,24 @@ def vit_apply_pp(
         )
     import flax.linen as nn
 
+    from dlsc_tpu.models.moe import as_moe_spec
     from dlsc_tpu.models.vit import Block, remat_kwargs
+
+    moe = as_moe_spec(getattr(model, "moe", None))
+    if moe is not None:
+        if train:
+            raise ValueError(
+                "pipeline-parallel TRAINING does not support MoE blocks: the "
+                "router's load-balance aux losses are sown via flax "
+                "intermediates, which cannot be collected inside the "
+                "pipeline's shard_map — train MoE models with expert "
+                "parallelism (+trainer.expert_parallel=N) instead. "
+                "Inference (train=False) is supported.")
+        if model.expert_sharding is not None:
+            raise ValueError(
+                "pipeline parallelism does not compose with expert_sharding "
+                "(GSPMD constraints cannot appear inside the pipeline's "
+                "shard_map); build the model with expert_sharding=None")
 
     tokens, n_real = model.apply(variables, x, part="embed")
     # honor the model's remat config (ast_small/ast defaults rely on it —
@@ -252,6 +269,7 @@ def vit_apply_pp(
         model.emb_dim, model.num_heads, dropout=model.dropout,
         attn_dropout=model.attn_dropout, dtype=model.dtype,
         use_flash=model.use_flash, attn_impl=model.attn_impl, n_real=n_real,
+        moe=moe,
     )
 
     def apply_block(p, h, key=None):

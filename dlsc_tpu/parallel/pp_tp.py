@@ -200,6 +200,11 @@ def vit_apply_pp_tp(
     if not model.scan_blocks:
         raise ValueError("pp×tp needs scan_blocks=True "
                          "(depth-stacked block params)")
+    if getattr(model, "moe", None) is not None:
+        raise ValueError(
+            "pp×tp does not support MoE blocks (the manual Megatron block "
+            "math covers the dense MLP only); use pp for MoE inference or "
+            "expert parallelism (+trainer.expert_parallel=N) for training")
     tp = int(mesh.shape["model"])
     if model.num_heads % tp:
         raise ValueError(

@@ -264,6 +264,61 @@ def test_ep_train_step_matches_replicated():
     assert not np.allclose(rk0, rk1)
 
 
+def test_pp_moe_inference_matches_sequential():
+    """MoE blocks ride the GPipe pipeline for inference (self-contained block
+    math); training raises loudly (aux losses can't be collected inside
+    shard_map), as does pp×tp (dense-MLP-only manual math)."""
+    from dlsc_tpu.parallel.pp import get_pp_mesh, vit_apply_pp
+    from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    model = ASTViT(num_classes=10, emb_dim=32, depth=4, num_heads=2,
+                   patch_size=16, patch_stride=16, overlap=0,
+                   dropout=0.0, dtype=jnp.float32, use_flash=False,
+                   scan_blocks=True, moe={"n_experts": 2, "top_k": 1})
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, 128, 32)).astype(np.float32))
+    v = model.init(jax.random.key(0), x, train=False)
+    seq = model.apply(v, x, train=False)
+    mesh = get_pp_mesh(8, 2)
+    pp = vit_apply_pp(model, v, x, mesh=mesh, n_micro=2, train=False)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(seq), atol=1e-5)
+
+    with pytest.raises(ValueError, match="aux"):
+        vit_apply_pp(model, v, x, mesh=mesh, n_micro=2, train=True,
+                     rng=jax.random.key(1))
+    with pytest.raises(ValueError, match="MoE"):
+        vit_apply_pp_tp(model, v, x, mesh=get_pp_tp_mesh(8, 2, 2), n_micro=2)
+
+
+def test_serving_export_roundtrip_moe(tmp_path):
+    """jax.export of the MoE inference path (top-k + scatter/gather dispatch
+    lower to StableHLO) round-trips through load_exported."""
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.serving import export_model, load_exported, make_infer
+
+    CLIP = 8000
+    model = ASTViT(num_classes=7, emb_dim=32, depth=2, num_heads=2,
+                   patch_size=16, patch_stride=16, overlap=0,
+                   dropout=0.0, dtype=jnp.float32, use_flash=False,
+                   moe={"n_experts": 2, "top_k": 2})
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=7))
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, CLIP)).astype(np.float32))
+    feats, _ = jax.jit(pipe.eval_batch)(
+        wave, jnp.zeros((wave.shape[0],), jnp.int32))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False)
+    direct = jax.jit(make_infer(model, pipe))(variables, wave)
+    art = export_model(model, pipe, variables, tmp_path / "art",
+                       batch=2, clip_samples=CLIP, platforms=("cpu",))
+    probs = load_exported(art)(wave)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(direct),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_hpo_space_loads_for_ast_moe():
     """models/ast_moe.yaml resolves from the model _target_ and carries the
     routing hyperparameters."""
