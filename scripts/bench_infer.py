@@ -36,6 +36,7 @@ VARIANTS = {
     "ast_b64": ("ast", 64, "bfloat16", {}),
     "ast_small_b64": ("ast_small", 64, "bfloat16", {}),
     "ast_mini_b64": ("ast_mini", 64, "bfloat16", {}),
+    "ast_moe_b32": ("ast_moe", 32, "bfloat16", {}),
     # int8 w8a8 serving quantization (ops/quant.py)
     "ast_int8_b1": ("ast", 1, "bfloat16", {}, "w8a8"),
     "ast_int8_b64": ("ast", 64, "bfloat16", {}, "w8a8"),
@@ -65,6 +66,10 @@ def build(which: str, dtype, pipe_kwargs: dict, quant: str | None = None):
                            quant=quant), "ast"
     if which == "ast_mini":
         return ASTMiniViT(num_classes=50, dtype=dtype, quant=quant), "ast"
+    if which == "ast_moe":
+        from dlsc_tpu.models import ASTMoE
+
+        return ASTMoE(num_classes=50, dtype=dtype, remat=False), "ast"
     if which == "envnet_v2":
         return EnvNetV2(num_classes=50, dtype=dtype), "envnet_v2"
     if which == "cnn_esc50":

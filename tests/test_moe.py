@@ -264,6 +264,47 @@ def test_ep_train_step_matches_replicated():
     assert not np.allclose(rk0, rk1)
 
 
+def test_moe_learns_routing():
+    """Two input clusters with different target linear maps: a top-1
+    2-expert MoE can only fit both by learning to route — the router is a
+    single linear gate, so the mixture must specialize."""
+    import optax
+
+    rng = np.random.default_rng(7)
+    D, N = 8, 256
+    half = N // 2
+    xa = rng.standard_normal((half, D)) + 3.0   # cluster A (shifted)
+    xb = rng.standard_normal((half, D)) - 3.0   # cluster B
+    Wa = rng.standard_normal((D, D)) * 0.5
+    Wb = -Wa                                    # opposite map
+    x = jnp.asarray(np.concatenate([xa, xb])[None].astype(np.float32))
+    y = jnp.asarray(
+        np.concatenate([xa @ Wa, xb @ Wb])[None].astype(np.float32))
+
+    m = MoeMlp(D, MoeSpec(n_experts=2, top_k=1, capacity_factor=2.0,
+                          aux_weight=1e-2), ratio=2.0)
+    params = m.init(jax.random.key(0), x, train=False)["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out, mut = m.apply({"params": p}, x, train=False,
+                               mutable=["intermediates"])
+            return (jnp.mean((out - y) ** 2)
+                    + collect_moe_aux(mut["intermediates"]))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    params, opt, loss0 = step(params, opt)
+    for _ in range(300):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 0.25 * float(loss0), (float(loss0), float(loss))
+
+
 def test_pp_moe_inference_matches_sequential():
     """MoE blocks ride the GPipe pipeline for inference (self-contained block
     math); training raises loudly (aux losses can't be collected inside
