@@ -45,12 +45,29 @@ class MoeSpec:
     capacity_factor: float = 1.25
     aux_weight: float = 1e-2      # load-balance loss weight (Switch: 1e-2)
     router_z_weight: float = 1e-3  # router logit z-loss weight (ST-MoE: 1e-3)
+    dispatch: str = "scatter"     # dispatch lowering: 'scatter' (scatter-add/
+                                  # gather, O(tokens·D) HBM traffic) or
+                                  # 'einsum' (GShard one-hot matmuls — zero
+                                  # scatters, all MXU, O(S·E·C) one-hot
+                                  # operands per group). Routing semantics are
+                                  # identical; pick by measured step time.
+    group_size: int = 256         # routing group: tokens are routed within
+                                  # fixed groups of ≤ this many tokens (the
+                                  # largest divisor of N is used), with
+                                  # per-group capacity — bounds the one-hot
+                                  # dispatch cost to O(group_size) per token
+                                  # and matches GShard/Switch group semantics.
 
     def __post_init__(self):
         if self.top_k < 1 or self.top_k > self.n_experts:
             raise ValueError(
                 f"top_k={self.top_k} must be in [1, n_experts={self.n_experts}]"
             )
+        if self.dispatch not in ("scatter", "einsum"):
+            raise ValueError(
+                f"dispatch={self.dispatch!r} must be 'scatter' or 'einsum'")
+        if self.group_size < 1:
+            raise ValueError(f"group_size={self.group_size} must be >= 1")
 
 
 def as_moe_spec(spec: "MoeSpec | dict | None") -> "MoeSpec | None":
@@ -68,10 +85,16 @@ class MoeMlp(nn.Module):
       router/kernel (D, E) f32 · wi (E, D, F) · bi (E, F) · wo (E, F, D) ·
       bo (E, D), where F = dim * ratio.
 
-    ``expert_sharding``: optional NamedSharding for the (B, E, C, D)
+    ``expert_sharding``: optional NamedSharding for the (B·G, E, C, D)
     dispatch buffers — e.g. P('data', 'model', None, None) — constraining
     the expert axis onto the mesh so expert compute is parallel and GSPMD
     materializes the dispatch/combine all-to-alls over ICI.
+
+    Routing is per fixed-size token group (``spec.group_size``, GShard
+    semantics) with two dispatch lowerings sharing identical routing
+    decisions: ``spec.dispatch='scatter'`` (scatter-add/gather) or
+    ``'einsum'`` (one-hot matmuls, zero scatters) — A/B them on target
+    hardware; scripts/bench_moe.py measures both.
     """
 
     dim: int
@@ -95,7 +118,12 @@ class MoeMlp(nn.Module):
         E, K = self.spec.n_experts, self.spec.top_k
         F = int(self.dim * self.ratio)
         n_real = N if self.n_real is None else min(self.n_real, N)
-        C = max(1, -(-K * n_real * int(100 * self.spec.capacity_factor)
+        # routing groups: largest divisor of N ≤ group_size; capacity is per
+        # group (min with n_real keeps the single-group padded case at the
+        # same capacity as the equivalent unpadded run)
+        S = _group_size(N, self.spec.group_size)
+        G = N // S
+        C = max(1, -(-K * min(S, n_real) * int(100 * self.spec.capacity_factor)
                      // (100 * E)))
 
         # --- router (f32) ---------------------------------------------------
@@ -109,52 +137,57 @@ class MoeMlp(nn.Module):
             jnp.sum(topv, axis=-1, keepdims=True), 1e-9
         )
 
-        # --- capacity positions (stage-major priority: all 1st choices rank
-        # before any 2nd choice, ties broken by token order) ----------------
+        # --- capacity positions per group (stage-major priority: all 1st
+        # choices rank before any 2nd choice, ties broken by token order) ----
         assign = jax.nn.one_hot(topi, E, dtype=jnp.float32)   # (B, N, K, E)
         valid = None
         if n_real < N:
             valid = (jnp.arange(N) < n_real).astype(jnp.float32)  # (N,)
             assign = assign * valid[None, :, None, None]  # pad: no assignment
-        am = assign.transpose(0, 2, 1, 3).reshape(B, K * N, E)
-        pos_flat = jnp.cumsum(am, axis=1) - 1.0               # (B, K*N, E)
-        pos_stage = pos_flat.reshape(B, K, N, E).transpose(0, 2, 1, 3)
-        pos = jnp.sum(pos_stage * assign, axis=-1)            # (B, N, K)
-        keep = (pos < C).astype(x.dtype)                      # (B, N, K)
+        a4 = assign.reshape(B, G, S, K, E)
+        am = a4.transpose(0, 1, 3, 2, 4).reshape(B, G, K * S, E)
+        pos_flat = jnp.cumsum(am, axis=2) - 1.0               # (B, G, K*S, E)
+        pos_stage = pos_flat.reshape(B, G, K, S, E).transpose(0, 1, 3, 2, 4)
+        pos = jnp.sum(pos_stage * a4, axis=-1)                # (B, G, S, K)
+        keep = (pos < C).astype(x.dtype)                      # (B, G, S, K)
         if valid is not None:
             # pad tokens have assign == 0 and pos == 0 < C; mask them out
-            keep = keep * valid[None, :, None].astype(x.dtype)
+            keep = keep * valid.reshape(G, S)[None, :, :, None].astype(x.dtype)
         pi = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
-        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, N, K))
+        xg = x.reshape(B * G, S, D).astype(self.dtype)
+        wk = (topv.astype(self.dtype).reshape(B, G, S, K) * keep)  # combine w
 
-        # --- dispatch: scatter tokens into per-expert capacity buffers ------
-        contrib = x[:, :, None, :].astype(self.dtype) * keep[..., None]
-        buf = jnp.zeros((B, E, C, D), self.dtype).at[b_idx, topi, pi].add(
-            contrib
-        )
-        buf = self._ep(buf)
-
-        # --- expert FFN: one batched einsum over the stacked experts --------
-        lecun = jax.nn.initializers.lecun_normal(
-            in_axis=-2, out_axis=-1, batch_axis=0
-        )
-        wi = self.param("wi", lecun, (E, D, F))
-        bi = self.param("bi", nn.initializers.zeros_init(), (E, F))
-        wo = self.param("wo", lecun, (E, F, D))
-        bo = self.param("bo", nn.initializers.zeros_init(), (E, D))
-        h = jnp.einsum("becd,edf->becf", buf, wi.astype(self.dtype))
-        h = nn.gelu(h + bi.astype(self.dtype)[None, :, None, :],
-                    approximate=False)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        out = jnp.einsum("becf,efd->becd", h, wo.astype(self.dtype))
-        out = out + bo.astype(self.dtype)[None, :, None, :]
-        out = self._ep(out)
-
-        # --- combine: gather each token's expert outputs, weight by gates ---
-        got = out[b_idx, topi, pi]                            # (B, N, K, D)
-        y = jnp.sum(
-            got * (topv.astype(self.dtype) * keep)[..., None], axis=2
-        )
+        # --- dispatch → expert FFN → combine --------------------------------
+        if self.spec.dispatch == "einsum":
+            # GShard one-hot matmul dispatch: zero scatters, all MXU. The
+            # (B, G, S, E, C) one-hot operands cost O(S·E·C) per group —
+            # bounded by group_size, not sequence length.
+            keepE = (a4.astype(self.dtype) * keep[..., None])  # (B,G,S,K,E)
+            oc = jax.nn.one_hot(pi, C, dtype=self.dtype) * keep[..., None]
+            disp = jnp.einsum("bgske,bgskc->bgsec", keepE, oc)
+            buf = jnp.einsum(
+                "bgsec,bgsd->bgecd", disp, xg.reshape(B, G, S, D)
+            ).reshape(B * G, E, C, D)
+            out = self._ffn(buf, E, F, D, train)               # (B*G,E,C,D)
+            comb = jnp.einsum("bgske,bgskc,bgsk->bgsec", keepE, oc, wk)
+            y = jnp.einsum(
+                "bgsec,bgecd->bgsd", comb, out.reshape(B, G, E, C, D)
+            ).reshape(B, N, D)
+        else:
+            # scatter-add dispatch / gather combine: O(tokens·D) HBM traffic
+            topi_g = topi.reshape(B * G, S, K)
+            pi_g = pi.reshape(B * G, S, K)
+            keep_g = keep.reshape(B * G, S, K)
+            bg = jnp.broadcast_to(
+                jnp.arange(B * G)[:, None, None], (B * G, S, K))
+            contrib = xg[:, :, None, :] * keep_g[..., None]
+            buf = jnp.zeros((B * G, E, C, D), self.dtype).at[
+                bg, topi_g, pi_g].add(contrib)
+            out = self._ffn(buf, E, F, D, train)               # (B*G,E,C,D)
+            got = out[bg, topi_g, pi_g]                        # (B*G,S,K,D)
+            y = jnp.sum(
+                got * (wk.reshape(B * G, S, K))[..., None], axis=2
+            ).reshape(B, N, D)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
 
         # --- aux losses over REAL tokens only (pre-weighted; collected by
@@ -174,10 +207,37 @@ class MoeMlp(nn.Module):
         )
         return y
 
+    def _ffn(self, buf, E: int, F: int, D: int, train: bool):
+        """Stacked-expert FFN over (BG, E, C, D) capacity buffers — one
+        batched einsum per matmul runs every expert on the MXU."""
+        buf = self._ep(buf)
+        lecun = jax.nn.initializers.lecun_normal(
+            in_axis=-2, out_axis=-1, batch_axis=0
+        )
+        wi = self.param("wi", lecun, (E, D, F))
+        bi = self.param("bi", nn.initializers.zeros_init(), (E, F))
+        wo = self.param("wo", lecun, (E, F, D))
+        bo = self.param("bo", nn.initializers.zeros_init(), (E, D))
+        h = jnp.einsum("becd,edf->becf", buf, wi.astype(self.dtype))
+        h = nn.gelu(h + bi.astype(self.dtype)[None, :, None, :],
+                    approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out = jnp.einsum("becf,efd->becd", h, wo.astype(self.dtype))
+        out = out + bo.astype(self.dtype)[None, :, None, :]
+        return self._ep(out)
+
     def _ep(self, buf):
         if self.expert_sharding is None:
             return buf
         return jax.lax.with_sharding_constraint(buf, self.expert_sharding)
+
+
+def _group_size(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is ≤ ``cap`` (≥ 1)."""
+    for s in range(min(cap, n), 0, -1):
+        if n % s == 0:
+            return s
+    return 1
 
 
 def collect_moe_aux(intermediates: Any) -> jnp.ndarray | float:

@@ -6,6 +6,8 @@ semantics (top-k, static capacity, token dropping), the aux-loss plumbing
 through the train step, and that EP sharding is numerically a layout
 detail on the 8-device virtual mesh."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -133,6 +135,57 @@ def test_fsdp_ep_state_shardings_cover_moments():
             found.append(leaf.spec)
     assert found, "no expert-weight moments found in opt_state"
     assert all("model" in str(s) for s in found), found
+
+
+def test_dispatch_modes_agree():
+    """'scatter' and 'einsum' dispatch share identical routing decisions —
+    outputs and gradients must match to fp tolerance, grouped or not."""
+    B, N, D = 2, 32, 16
+    x = _tokens(B, N, D, seed=5)
+    for gs in (32, 8):  # single group and 4 groups
+        ms_ = MoeSpec(n_experts=4, top_k=2, capacity_factor=1.1,
+                      dispatch="scatter", group_size=gs)
+        me = dataclasses.replace(ms_, dispatch="einsum")
+        a = MoeMlp(D, ms_, ratio=2.0)
+        b = MoeMlp(D, me, ratio=2.0)
+        v = a.init(jax.random.key(1), x, train=False)
+
+        def loss(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x, train=False) ** 2)
+            return jax.value_and_grad(f)(v["params"])
+
+        la, ga = loss(a)
+        lb, gb = loss(b)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+        for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=2e-4, atol=1e-5)
+
+
+def test_grouped_capacity_is_per_group():
+    """group_size splits routing into independent groups: a group whose
+    tokens all pick one expert can only keep C of them, even if other
+    groups leave that expert idle."""
+    B, N, D, E = 1, 16, 32, 2
+    x = _tokens(B, N, D, seed=9)
+    # 4 groups of 4, C = ceil(1*4*0.5/2) = 1 → ≤ E*C = 2 tokens per group
+    m = MoeMlp(32, MoeSpec(n_experts=E, top_k=1, capacity_factor=0.5,
+                           group_size=4))
+    v = m.init(jax.random.key(0), x, train=False)
+    y = np.asarray(m.apply(v, x, train=False))
+    for g in range(4):
+        rows = y[0, g * 4:(g + 1) * 4]
+        nz = np.sum(~np.all(rows == 0.0, axis=-1))
+        assert nz <= 2, f"group {g} kept {nz} tokens (> E*C)"
+
+
+def test_dispatch_spec_validation():
+    with pytest.raises(ValueError, match="dispatch"):
+        MoeSpec(n_experts=2, dispatch="magic")
+    with pytest.raises(ValueError, match="group_size"):
+        MoeSpec(n_experts=2, group_size=0)
 
 
 def test_router_gradient_flows():
