@@ -35,6 +35,9 @@ def ASTMoE(
     capacity_factor: float = 1.25,
     aux_weight: float = 1e-2,
     router_z_weight: float = 1e-3,
+    router: str = "token",      # 'token' (Switch/GShard) | 'expert' (Zhou 2022)
+    dispatch: str = "scatter",  # 'scatter' | 'einsum' (models/moe.py)
+    group_size: int = 256,
     dtype: Any = jnp.bfloat16,
     attn_impl: str = "splash",
     attn_dropout: float = 0.0,
@@ -64,6 +67,9 @@ def ASTMoE(
             capacity_factor=capacity_factor,
             aux_weight=aux_weight,
             router_z_weight=router_z_weight,
+            router=router,
+            dispatch=dispatch,
+            group_size=group_size,
         ),
         expert_sharding=expert_sharding,
     )

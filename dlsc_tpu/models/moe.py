@@ -45,6 +45,12 @@ class MoeSpec:
     capacity_factor: float = 1.25
     aux_weight: float = 1e-2      # load-balance loss weight (Switch: 1e-2)
     router_z_weight: float = 1e-3  # router logit z-loss weight (ST-MoE: 1e-3)
+    router: str = "token"         # 'token': token-choice top-k (Switch/GShard
+                                  # — needs the load-balance aux loss) or
+                                  # 'expert': expert-choice (Zhou 2022 — each
+                                  # expert picks its top-C tokens; perfectly
+                                  # balanced by construction, no balance loss,
+                                  # variable experts-per-token)
     dispatch: str = "scatter"     # dispatch lowering: 'scatter' (scatter-add/
                                   # gather, O(tokens·D) HBM traffic) or
                                   # 'einsum' (GShard one-hot matmuls — zero
@@ -66,6 +72,9 @@ class MoeSpec:
         if self.dispatch not in ("scatter", "einsum"):
             raise ValueError(
                 f"dispatch={self.dispatch!r} must be 'scatter' or 'einsum'")
+        if self.router not in ("token", "expert"):
+            raise ValueError(
+                f"router={self.router!r} must be 'token' or 'expert'")
         if self.group_size < 1:
             raise ValueError(f"group_size={self.group_size} must be >= 1")
 
@@ -131,6 +140,26 @@ class MoeMlp(nn.Module):
             E, use_bias=False, dtype=jnp.float32, name="router"
         )(x.astype(jnp.float32))                     # (B, N, E)
         gates = jax.nn.softmax(logits, axis=-1)
+        valid = None
+        if n_real < N:
+            valid = (jnp.arange(N) < n_real).astype(jnp.float32)  # (N,)
+
+        # z-loss over real tokens (both router modes; stabilizes the gate)
+        nv = float(B * n_real)
+        z2 = jax.scipy.special.logsumexp(logits, axis=-1) ** 2
+        if valid is not None:
+            z2 = z2 * valid[None, :]
+        aux = self.spec.router_z_weight * jnp.sum(z2) / nv
+
+        if self.spec.router == "expert":
+            # expert-choice (Zhou 2022): each expert takes its top-C tokens —
+            # perfectly balanced by construction, no load-balance loss
+            y = self._expert_choice(x, gates, valid, B, N, D, E, F, S, G, C,
+                                    train)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            self.sow("intermediates", "moe_aux", aux)
+            return y
+
         topv, topi = jax.lax.top_k(gates, K)          # (B, N, K)
         # normalize the selected gates to sum to 1 (GShard); K=1 → weight 1
         topv = topv / jnp.maximum(
@@ -140,9 +169,7 @@ class MoeMlp(nn.Module):
         # --- capacity positions per group (stage-major priority: all 1st
         # choices rank before any 2nd choice, ties broken by token order) ----
         assign = jax.nn.one_hot(topi, E, dtype=jnp.float32)   # (B, N, K, E)
-        valid = None
-        if n_real < N:
-            valid = (jnp.arange(N) < n_real).astype(jnp.float32)  # (N,)
+        if valid is not None:
             assign = assign * valid[None, :, None, None]  # pad: no assignment
         a4 = assign.reshape(B, G, S, K, E)
         am = a4.transpose(0, 1, 3, 2, 4).reshape(B, G, K * S, E)
@@ -190,21 +217,44 @@ class MoeMlp(nn.Module):
             ).reshape(B, N, D)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
 
-        # --- aux losses over REAL tokens only (pre-weighted; collected by
-        # the train step) ----------------------------------------------------
-        nv = float(B * n_real)
+        # --- load-balance loss over REAL tokens (token-choice only; pre-
+        # weighted, collected by the train step) -----------------------------
         frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv  # routed fraction
         gv = gates if valid is None else gates * valid[None, :, None]
         prob = jnp.sum(gv, axis=(0, 1)) / nv                  # mean gate prob
         balance = E * jnp.sum(frac * prob)
-        z2 = jax.scipy.special.logsumexp(logits, axis=-1) ** 2
-        if valid is not None:
-            z2 = z2 * valid[None, :]
-        z = jnp.sum(z2) / nv
         self.sow(
-            "intermediates", "moe_aux",
-            self.spec.aux_weight * balance + self.spec.router_z_weight * z,
+            "intermediates", "moe_aux", aux + self.spec.aux_weight * balance,
         )
+        return y
+
+    def _expert_choice(self, x, gates, valid, B, N, D, E, F, S, G, C, train):
+        """Expert-choice routing: per group, each expert gathers its top-C
+        tokens by gate score (dispatch is a pure gather; combine is a one-hot
+        einsum — no scatters in either direction). A token may be taken by
+        0..E experts; untaken tokens ride the Block residual. Combine weights
+        are the raw gate values (no top-k normalization — matches the
+        expert-choice paper)."""
+        g4 = gates.reshape(B, G, S, E)
+        scores = g4.transpose(0, 1, 3, 2)                   # (B, G, E, S)
+        vmask = None
+        if valid is not None:
+            vmask = valid.reshape(G, S)
+            # pads rank below every real token (gates are in (0, 1))
+            scores = jnp.where(vmask[None, :, None, :] > 0, scores, -1.0)
+        wv, ti = jax.lax.top_k(scores, C)                    # (B, G, E, C)
+        oh = jax.nn.one_hot(ti, S, dtype=self.dtype)         # (B, G, E, C, S)
+        if vmask is not None:
+            # an all-pad group would still pick pads — zero them out
+            oh = oh * vmask[None, :, None, None, :].astype(self.dtype)
+        wv = jnp.maximum(wv, 0.0).astype(self.dtype)
+        xg = x.reshape(B, G, S, D).astype(self.dtype)
+        buf = jnp.einsum("bgecs,bgsd->bgecd", oh, xg).reshape(B * G, E, C, D)
+        out = self._ffn(buf, E, F, D, train)                 # (B*G, E, C, D)
+        y = jnp.einsum(
+            "bgecs,bgecd->bgsd", oh * wv[..., None],
+            out.reshape(B, G, E, C, D),
+        ).reshape(B, N, D)
         return y
 
     def _ffn(self, buf, E: int, F: int, D: int, train: bool):

@@ -68,14 +68,15 @@ def main(which: list[str]) -> None:
     x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32) * 0.1,
                     dtype=jnp.bfloat16)
 
-    for dispatch in ("einsum", "scatter"):
+    modes = [("token", "einsum"), ("token", "scatter"), ("expert", "einsum")]
+    for router, dispatch in modes:
         for gs in (256, 448, N):
-            spec = MoeSpec(n_experts=E, top_k=K, dispatch=dispatch,
-                           group_size=gs)
+            spec = MoeSpec(n_experts=E, top_k=K, router=router,
+                           dispatch=dispatch, group_size=gs)
             m = MoeMlp(D, spec, dtype=jnp.bfloat16)
             v = jax.jit(m.init, static_argnames=("train",))(
                 jax.random.key(0), x, train=False)
-            label = f"{dispatch}_g{gs}"
+            label = f"{router}_{dispatch}_g{gs}"
 
             if "fwd" in which:
                 _time(lambda p, t: m.apply({"params": p}, t, train=False),

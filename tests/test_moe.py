@@ -186,6 +186,76 @@ def test_dispatch_spec_validation():
         MoeSpec(n_experts=2, dispatch="magic")
     with pytest.raises(ValueError, match="group_size"):
         MoeSpec(n_experts=2, group_size=0)
+    with pytest.raises(ValueError, match="router"):
+        MoeSpec(n_experts=2, router="oracle")
+
+
+def test_expert_choice_equals_dense_at_full_capacity():
+    """With C == S (capacity_factor = E/K) every expert takes every token;
+    identical experts + gates summing to 1 ⇒ output == plain FFN."""
+    B, N, D, E, K = 2, 16, 32, 4, 2
+    x = _tokens(B, N, D, seed=11)
+    m = MoeMlp(32, MoeSpec(n_experts=E, top_k=K, capacity_factor=E / K,
+                           router="expert"), ratio=2.0)
+    v = m.init(jax.random.key(0), x, train=False)
+    p = dict(v["params"])
+    w1, b1 = np.asarray(p["wi"][0]), np.asarray(p["bi"][0])
+    w2, b2 = np.asarray(p["wo"][0]), np.asarray(p["bo"][0])
+    p["wi"] = jnp.asarray(np.tile(w1[None], (E, 1, 1)))
+    p["bi"] = jnp.asarray(np.tile(b1[None], (E, 1)))
+    p["wo"] = jnp.asarray(np.tile(w2[None], (E, 1, 1)))
+    p["bo"] = jnp.asarray(np.tile(b2[None], (E, 1)))
+    y = m.apply({"params": p}, x, train=False)
+    import flax.linen as nn
+
+    ref = nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_expert_choice_pad_exclusion():
+    """Expert-choice never picks encoder pad tokens (they rank below every
+    real gate), and real-token routing matches the unpadded run."""
+    B, R, D = 2, 12, 32
+    N = 16
+    x = _tokens(B, N, D, seed=13)
+    spec = MoeSpec(n_experts=2, top_k=2, capacity_factor=0.5, router="expert")
+    m_pad = MoeMlp(32, spec, n_real=R)
+    m_ref = MoeMlp(32, spec)
+    v = m_pad.init(jax.random.key(0), x, train=False)
+    y_pad = m_pad.apply(v, x, train=False)
+    y_ref = m_ref.apply(v, x[:, :R], train=False)
+    assert np.all(np.asarray(y_pad[:, R:]) == 0.0)
+    np.testing.assert_allclose(np.asarray(y_pad[:, :R]), np.asarray(y_ref),
+                               atol=1e-6)
+
+
+def test_expert_choice_router_grad_and_aux():
+    x = _tokens()
+    m = MoeMlp(32, MoeSpec(n_experts=4, top_k=2, router="expert"))
+    v = m.init(jax.random.key(0), x, train=False)
+
+    def loss(params):
+        y, mut = m.apply({"params": params}, x, train=False,
+                         mutable=["intermediates"])
+        return jnp.sum(y**2) + collect_moe_aux(mut["intermediates"])
+
+    g = jax.grad(loss)(v["params"])
+    assert float(jnp.sum(jnp.abs(g["router"]["kernel"]))) > 0.0
+    # aux is the z-loss only (no balance term): small and positive
+    _, mut = m.apply(v, x, train=False, mutable=["intermediates"])
+    aux = float(collect_moe_aux(mut["intermediates"]))
+    assert 0.0 < aux < 1.0
+
+
+def test_astvit_expert_choice_integration():
+    model = ASTViT(num_classes=5, emb_dim=32, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dtype=jnp.float32,
+                   moe={"n_experts": 2, "top_k": 1, "router": "expert"})
+    x = jnp.zeros((2, 128, 32))
+    v = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (2, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_router_gradient_flows():
