@@ -544,3 +544,41 @@ def test_trainer_expert_parallel_fit(tmp_path):
         Trainer(max_epochs=1, expert_parallel=2,
                 enable_progress_bar=False,
                 enable_checkpointing=False).fit(odd, dm, adam(lr=1e-3))
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_expert_parallel_fit(tmp_path):
+    """Trainer(fsdp=True, expert_parallel=2): ZeRO+EP through the real fit
+    loop — expert weights AND their Adam moments come out sharded on both
+    'model' (expert dim) and 'data' (ZeRO)."""
+    from dlsc_tpu.data import ESC50DataModule
+    from dlsc_tpu.data.synthetic import make_synthetic_dataset
+    from dlsc_tpu.train import Trainer
+    from dlsc_tpu.train.optim import adam
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    root = tmp_path / "synth"
+    make_synthetic_dataset(root, num_classes=10, clips_per_class_per_fold=2,
+                           clip_samples=8000)
+    dm = ESC50DataModule(root=str(root), num_classes=10, fold=0,
+                         val_split=0.2, batch_size=8,
+                         preprocessing_mode="ast", is_spectrogram=True,
+                         preprocessing_config={"n_mels": 128})
+    # wi is (depth, 4, 32, 128) = 32768 floats ≥ the FSDP size gate
+    model = ASTViT(num_classes=10, emb_dim=32, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dtype=jnp.float32,
+                   moe={"n_experts": 4, "top_k": 1})
+    trainer = Trainer(max_epochs=1, enable_progress_bar=False,
+                      enable_checkpointing=False, seed=0,
+                      fsdp=True, expert_parallel=2)
+    state = trainer.fit(model, dm, adam(lr=1e-3))
+    wi = state.params["blocks"]["block"]["moe"]["wi"]
+    assert "model" in str(wi.sharding.spec) and "data" in str(wi.sharding.spec)
+    moments = [
+        leaf.sharding.spec
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+        if "wi" in [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    ]
+    assert moments and all("model" in str(s) for s in moments), moments
+    assert np.isfinite(trainer.logged_metrics["train/loss"])
