@@ -547,6 +547,37 @@ def test_trainer_expert_parallel_fit(tmp_path):
 
 
 @pytest.mark.slow
+def test_vmapped_hpo_with_moe(tmp_path):
+    """MoE under vmap (the lockstep multi-trial runner): top-k / cumsum /
+    scatter dispatch / aux-loss collection must all vmap over the trial
+    axis."""
+    from dlsc_tpu.data import ESC50DataModule
+    from dlsc_tpu.data.synthetic import make_synthetic_dataset
+    from dlsc_tpu.hpo import Study, TPESampler, TrialState
+    from dlsc_tpu.hpo.vmapped import VmappedTrialRunner
+
+    root = tmp_path / "vsynth"
+    make_synthetic_dataset(root, num_classes=10, clips_per_class_per_fold=2,
+                           clip_samples=8000)
+    dm = ESC50DataModule(root=str(root), num_classes=10, fold=0,
+                         val_split=0.2, batch_size=16,
+                         preprocessing_mode="ast", is_spectrogram=True)
+    model = ASTViT(num_classes=10, emb_dim=32, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dtype=jnp.float32,
+                   moe={"n_experts": 2, "top_k": 1})
+    study = Study("vmap_moe", tmp_path / "v.db", "maximize",
+                  sampler=TPESampler(seed=0))
+    runner = VmappedTrialRunner(
+        study, model, dm.pipeline, dm, epochs=2, seed=0,
+        lr_space={"type": "float", "low": 1e-4, "high": 1e-2, "log": True},
+    )
+    result = runner.run_batch(k=2)
+    assert len(result.trial_numbers) == 2
+    assert all(t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+               for t in study.trials)
+
+
+@pytest.mark.slow
 def test_trainer_fsdp_expert_parallel_fit(tmp_path):
     """Trainer(fsdp=True, expert_parallel=2): ZeRO+EP through the real fit
     loop — expert weights AND their Adam moments come out sharded on both
