@@ -1,4 +1,5 @@
-"""Flax model zoo: the six reference model families, TPU-first.
+"""Flax model zoo: the six reference model families, TPU-first, plus the
+beyond-reference AST-MoE (mixture-of-experts, models/moe.py).
 
 All models are ``flax.linen`` modules with the signature
 ``__call__(x, train: bool)`` returning logits (or sigmoid probabilities for
