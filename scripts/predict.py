@@ -13,6 +13,11 @@ Usage:
 Loads each WAV (any rate/channels — standardized like training data), runs
 the model's eval pipeline + forward on device, and prints top-k class
 indices with probabilities.
+
+Files longer than the training clip length are classified by sliding
+half-overlapping windows across the clip and averaging the window
+probabilities (`+long_audio=avg`, the default; `+long_audio=truncate`
+restores plain head-truncation). Short files are zero-padded.
 """
 
 from __future__ import annotations
@@ -42,10 +47,49 @@ def _print_results(files, probs, top_k: int) -> list[dict]:
     return results
 
 
-def predict_from_artifact(artifact: str, files: list, top_k: int) -> list[dict]:
+def _windows(x: np.ndarray, clip_len: int, mode: str) -> list[np.ndarray]:
+    """Split one standardized waveform into clip_len windows.
+
+    'avg': half-overlapping sliding windows covering the whole file (the
+    last window is right-aligned so no tail is dropped); 'truncate': a
+    single head window. Short inputs zero-pad to one window either way.
+    """
+    if len(x) <= clip_len:
+        return [np.pad(x, (0, clip_len - len(x)))]
+    if mode == "truncate":
+        return [x[:clip_len]]
+    hop = max(clip_len // 2, 1)
+    starts = list(range(0, len(x) - clip_len + 1, hop))
+    if starts[-1] != len(x) - clip_len:
+        starts.append(len(x) - clip_len)
+    return [x[s:s + clip_len] for s in starts]
+
+
+def _file_windows(files, sr: int, clip_len: int, mode: str):
+    """standardize each file → window stack (W_total, clip_len) + per-file
+    window counts."""
+    wins, counts = [], []
+    for f in files:
+        w = _windows(W.standardize(f, sr), clip_len, mode)
+        wins.extend(w)
+        counts.append(len(w))
+    return np.stack(wins).astype(np.float32), counts
+
+
+def _avg_by_file(win_probs: np.ndarray, counts: list[int]) -> np.ndarray:
+    """Mean window probabilities per file."""
+    out, i = [], 0
+    for n in counts:
+        out.append(win_probs[i:i + n].mean(axis=0))
+        i += n
+    return np.stack(out)
+
+
+def predict_from_artifact(artifact: str, files: list, top_k: int,
+                          long_audio: str = "avg") -> list[dict]:
     """Deployment path: classify via a `scripts/export.py` artifact.
 
-    The exported program has a static batch size; requests are padded to it
+    The exported program has a static batch size; windows are padded to it
     and served in chunks. Sample rate / clip length come from the manifest.
     """
     from dlsc_tpu.serving import load_exported
@@ -55,20 +99,16 @@ def predict_from_artifact(artifact: str, files: list, top_k: int) -> list[dict]:
     batch, clip_len = int(man["batch"]), int(man["clip_samples"])
     sr = int(man.get("sample_rate", 44_100))
 
-    waves = []
-    for f in files:
-        x = W.standardize(f, sr)
-        waves.append(np.pad(x, (0, max(clip_len - len(x), 0)))[:clip_len])
-    wave = np.stack(waves).astype(np.float32)
-
+    wave, counts = _file_windows(files, sr, clip_len, long_audio)
     probs = []
-    for i in range(0, len(files), batch):
+    for i in range(0, wave.shape[0], batch):
         chunk = wave[i:i + batch]
         n = chunk.shape[0]
         if n < batch:  # pad the ragged final chunk to the exported batch
             chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
         probs.append(np.asarray(serve(chunk))[:n])
-    return _print_results(files, np.concatenate(probs), top_k)
+    return _print_results(files, _avg_by_file(np.concatenate(probs), counts),
+                          top_k)
 
 
 def main(argv: list[str] | None = None) -> list[dict]:
@@ -83,8 +123,12 @@ def main(argv: list[str] | None = None) -> list[dict]:
         raise SystemExit(
             "pass +files=[a.wav,...] and +ckpt_path=<dir> (or +artifact=<dir>)")
     top_k = int(cfg.select("top_k", default=5))
+    long_audio = str(cfg.select("long_audio", default="avg"))
+    if long_audio not in ("avg", "truncate"):
+        raise SystemExit(f"long_audio={long_audio!r} must be avg|truncate")
     if artifact:
-        return predict_from_artifact(str(artifact), list(files), top_k)
+        return predict_from_artifact(str(artifact), list(files), top_k,
+                                     long_audio)
     sr = int(cfg.select("dataset.sample_rate", default=44_100))
 
     import jax
@@ -100,15 +144,11 @@ def main(argv: list[str] | None = None) -> list[dict]:
     state = restore_state(ckpt, state)
     pipe = datamodule.pipeline
 
-    # standardize + pad/trim to the training clip length
+    # standardize + window to the training clip length
     datamodule.setup()
     clip_len = datamodule._pool.shape[1]
-    waves = []
-    for f in files:
-        x = W.standardize(f, sr)
-        x = np.pad(x, (0, max(clip_len - len(x), 0)))[:clip_len]
-        waves.append(x)
-    wave = jnp.asarray(np.stack(waves), jnp.float32)
+    wave_np, counts = _file_windows(files, sr, clip_len, long_audio)
+    wave = jnp.asarray(wave_np, jnp.float32)
 
     @jax.jit
     def forward(state, wave):
@@ -119,8 +159,8 @@ def main(argv: list[str] | None = None) -> list[dict]:
         out = state.apply_fn(variables, inputs, train=False)
         return jax.nn.softmax(out, axis=-1)
 
-    probs = np.asarray(jax.device_get(forward(state, wave)))
-    return _print_results(files, probs, top_k)
+    win_probs = np.asarray(jax.device_get(forward(state, wave)))
+    return _print_results(files, _avg_by_file(win_probs, counts), top_k)
 
 
 if __name__ == "__main__":
