@@ -97,6 +97,7 @@ def pipeline_blocks(
     data_axis: str = "data",
     rng: jax.Array | None = None,
     param_specs: Any | None = None,
+    with_aux: bool = False,
 ) -> jax.Array:
     """Apply ``depth`` stacked blocks to ``x`` pipelined over ``axis``.
 
@@ -104,6 +105,14 @@ def pipeline_blocks(
     inside shard_map, so it must not itself use GSPMD shardings.
     stacked_params: pytree whose leaves have a leading ``depth`` axis (the
     nn.scan layout). x: (B, N, D) with B sharded over ``data_axis``.
+
+    ``with_aux``: apply_block additionally returns a scalar auxiliary loss
+    (MoE load-balance/z losses) and pipeline_blocks returns ``(y, aux)``.
+    Fill/drain garbage ticks are masked out of the accumulation; the result
+    is summed over stages (each stage holds distinct layers), averaged over
+    microbatches and over the 'data' axis — i.e. the per-layer token-mean
+    convention of models/moe.py, estimated per microbatch (see
+    vit_apply_pp for the exact-vs-estimator caveat).
 
     ``rng``: optional PRNG key enabling stochastic blocks (dropout). When
     given, apply_block is called as ``apply_block(params, h, key)`` with a
@@ -153,17 +162,22 @@ def pipeline_blocks(
             def one(h, pl):
                 p, lid = pl
                 if key is None:
-                    return apply_block(p, h), None
-                k = jax.random.fold_in(jax.random.fold_in(key, m), lid)
-                return apply_block(p, h, k), None
+                    out = apply_block(p, h)
+                else:
+                    k = jax.random.fold_in(jax.random.fold_in(key, m), lid)
+                    out = apply_block(p, h, k)
+                if with_aux:
+                    h, a = out
+                    return h, jnp.asarray(a, jnp.float32)
+                return out, jnp.float32(0.0)
 
-            h, _ = jax.lax.scan(one, h, (params_local, layer_ids))
-            return h
+            h, auxs = jax.lax.scan(one, h, (params_local, layer_ids))
+            return h, jnp.sum(auxs)
 
         perm = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(carry, t):
-            recv, ybuf = carry
+            recv, ybuf, aux_acc = carry
             # stage 0 feeds fresh microbatches (clipped re-reads during
             # drain are computed and discarded); later stages consume the
             # previous tick's ppermute.
@@ -172,7 +186,11 @@ def pipeline_blocks(
             )
             inp = jnp.where(stage == 0, first, recv)
             # stage s works on microbatch t - s (by pipeline induction)
-            out = run_stage(inp, jnp.clip(t - stage, 0, n_micro - 1))
+            out, aux = run_stage(inp, jnp.clip(t - stage, 0, n_micro - 1))
+            # a tick is real work for stage s iff 0 <= t - s < n_micro;
+            # fill/drain garbage must not pollute the aux accumulation
+            real = jnp.logical_and(t - stage >= 0, t - stage < n_micro)
+            aux_acc = aux_acc + jnp.where(real, aux, 0.0)
             # the last stage finishes microbatch m = t - (S-1) at tick t;
             # fill ticks (m < 0) rewrite the existing slot with itself.
             m = t - (S - 1)
@@ -181,25 +199,32 @@ def pipeline_blocks(
             write = jnp.where(m >= 0, out, prev)
             ybuf = jax.lax.dynamic_update_index_in_dim(ybuf, write, mclip, 0)
             recv = jax.lax.ppermute(out, axis, perm)
-            return (recv, ybuf), None
+            return (recv, ybuf, aux_acc), None
 
-        carry = (jnp.zeros_like(xm[0]), jnp.zeros_like(xm))
-        (recv, ybuf), _ = jax.lax.scan(
+        carry = (jnp.zeros_like(xm[0]), jnp.zeros_like(xm), jnp.float32(0.0))
+        (recv, ybuf, aux_acc), _ = jax.lax.scan(
             tick, carry, jnp.arange(n_micro + S - 1)
         )
         # only the last stage holds real outputs → mask + psum replicates
         y = jnp.where(stage == S - 1, ybuf, jnp.zeros_like(ybuf))
         y = jax.lax.psum(y, axis)
-        return y.reshape(Bl, *x_local.shape[1:])
+        y = y.reshape(Bl, *x_local.shape[1:])
+        # stages hold distinct layers → psum over 'stage' sums all layers;
+        # mean over microbatches and data shards restores the per-layer
+        # full-batch token-mean scale of the sequential model
+        aux = jax.lax.psum(aux_acc, axis) / n_micro
+        aux = jax.lax.pmean(aux, data_axis)
+        return y, aux
 
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(param_spec, x_spec, P()),
-        out_specs=x_spec,
+        out_specs=(x_spec, P()),
         **_SM_KW,
     )
-    return fn(stacked_params, x, rng)
+    y, aux = fn(stacked_params, x, rng)
+    return (y, aux) if with_aux else y
 
 
 def vit_apply_pp(
@@ -220,6 +245,19 @@ def vit_apply_pp(
     microbatch, layer), so it is schedule-independent — but it is a
     *different* stream than the sequential model's, as with any scan/unroll
     layout change.
+
+    MoE models: inference returns logits as usual; TRAINING returns
+    ``(logits, moe_aux)`` — the router's pre-weighted load-balance + z
+    losses, collected per block inside the pipeline (flax intermediates
+    cannot cross the shard_map boundary, so each block apply runs with
+    ``mutable=['intermediates']`` locally and the scalars ride the pipeline
+    scan). Add ``moe_aux`` to the loss exactly as the sequential train step
+    adds ``collect_moe_aux`` (train/steps.py). Scale caveat: the z-loss is
+    a token mean (microbatch-exact); the load-balance term is a product of
+    batch means, so under n_micro microbatches × n_data shards it is the
+    mean of per-(microbatch, shard) products — the standard estimator every
+    microbatched MoE trainer uses (identical at n_micro=1 on one data
+    shard; test_pp.py asserts both regimes).
     """
     if not model.scan_blocks:
         raise ValueError("pipeline parallelism needs scan_blocks=True "
@@ -242,20 +280,12 @@ def vit_apply_pp(
     from dlsc_tpu.models.vit import Block, remat_kwargs
 
     moe = as_moe_spec(getattr(model, "moe", None))
-    if moe is not None:
-        if train:
-            raise ValueError(
-                "pipeline-parallel TRAINING does not support MoE blocks: the "
-                "router's load-balance aux losses are sown via flax "
-                "intermediates, which cannot be collected inside the "
-                "pipeline's shard_map — train MoE models with expert "
-                "parallelism (+trainer.expert_parallel=N) instead. "
-                "Inference (train=False) is supported.")
-        if model.expert_sharding is not None:
-            raise ValueError(
-                "pipeline parallelism does not compose with expert_sharding "
-                "(GSPMD constraints cannot appear inside the pipeline's "
-                "shard_map); build the model with expert_sharding=None")
+    if moe is not None and model.expert_sharding is not None:
+        raise ValueError(
+            "pipeline parallelism does not compose with expert_sharding "
+            "(GSPMD constraints cannot appear inside the pipeline's "
+            "shard_map); build the model with expert_sharding=None")
+    moe_aux = moe is not None and train
 
     tokens, n_real = model.apply(variables, x, part="embed")
     # honor the model's remat config (ast_small/ast defaults rely on it —
@@ -272,13 +302,23 @@ def vit_apply_pp(
         moe=moe,
     )
 
+    from dlsc_tpu.models.moe import collect_moe_aux
+
     def apply_block(p, h, key=None):
         rngs = {"dropout": key} if key is not None else None
+        if moe_aux:
+            out, mut = blk.apply(
+                {"params": p}, h, train, rngs=rngs, mutable=["intermediates"]
+            )
+            return out, collect_moe_aux(mut.get("intermediates"))
         return blk.apply({"params": p}, h, train, rngs=rngs)
 
     stacked = variables["params"]["blocks"]["block"]
     y = pipeline_blocks(
         apply_block, stacked, tokens, mesh=mesh, n_micro=n_micro,
-        rng=rng if dropout_active else None,
+        rng=rng if dropout_active else None, with_aux=moe_aux,
     )
+    if moe_aux:
+        y, aux = y
+        return model.apply(variables, y, part="finalize"), aux
     return model.apply(variables, y, part="finalize")
