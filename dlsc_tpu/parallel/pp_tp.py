@@ -78,12 +78,26 @@ def _block_tp(
     p: dict, h: jax.Array, *, dh: int, dropout: float, attn_dropout: float,
     dtype, train: bool, key: jax.Array | None, axis: str,
     n_real: int | None, use_flash: bool, attn_impl: str,
+    moe=None, n_tp: int = 1,
 ) -> jax.Array:
     """One pre-LN encoder block over model-axis-local params.
 
     ``p`` leaves are this shard's slices: qkv kernel (D, 3, H_local, dh),
     proj kernel (H_local, dh, D), fc1 kernel (D, hid_local), fc2 kernel
     (hid_local, D); norms/biases of row-parallel layers are replicated.
+
+    ``moe`` (MoeSpec): the MLP half is a routed expert mixture instead —
+    implemented by applying models/moe.MoeMlp itself on this shard's
+    F-sliced expert weights (wi/bi column-split, wo row-split, router
+    replicated, bo pre-divided by n_tp so the psum restores it once). The
+    router runs replicated, so every shard makes identical routing
+    decisions and the (linear) combine can be psum'd after the module.
+    Returns ``(x, aux)`` with the sown moe_aux scalar (replicated over
+    'model'); the dense path returns ``(x, 0.0)``. Dropout caveat: the
+    hidden expert-FFN mask uses the same key on every shard, so mask
+    patterns repeat across the F slices (the output mask NEEDS identical
+    keys for the psum to commute with it) — a documented noise-stream
+    deviation, like every other layout change on the pipelined paths.
     """
     x = h
     y = _ln(x, p["norm1"]["scale"], p["norm1"]["bias"])
@@ -133,6 +147,31 @@ def _block_tp(
     x = x + a
 
     y = _ln(x, p["norm2"]["scale"], p["norm2"]["bias"])
+    if moe is not None:
+        from dlsc_tpu.models.moe import MoeMlp, collect_moe_aux
+
+        D = y.shape[-1]
+        Fl = p["wi"].shape[-1]  # this shard's expert-hidden slice
+        # flax validates param shapes against the init's eval_shape, so the
+        # module's F = int(dim * ratio) must equal Fl exactly; the +0.5
+        # makes the float round-trip land on Fl regardless of ulp error
+        mod = MoeMlp(D, moe, ratio=(Fl + 0.5) / D, dropout=dropout,
+                     dtype=dtype, n_real=n_real)
+        local = {
+            "router": p["router"],
+            "wi": p["wi"], "bi": p["bi"], "wo": p["wo"],
+            # replicated in specs; pre-divide so the psum adds it once
+            "bo": p["bo"] / n_tp,
+        }
+        # k_out (NOT axis-folded): the output-dropout mask must be identical
+        # on every shard for psum∘dropout == dropout∘psum; the hidden mask
+        # inherits the same key (see docstring)
+        rngs = {"dropout": k_out} if (train and dropout > 0.0) else None
+        o, mut = mod.apply({"params": local}, y, train, rngs=rngs,
+                           mutable=["intermediates"])
+        o = jax.lax.psum(o, axis)
+        aux = collect_moe_aux(mut.get("intermediates"))  # replicated
+        return x + o, jnp.asarray(aux, jnp.float32)
     mid = y @ p["fc1"]["kernel"].astype(dtype) + p["fc1"]["bias"].astype(dtype)
     mid = jax.nn.gelu(mid, approximate=False)
     if train and dropout > 0.0:
@@ -141,13 +180,19 @@ def _block_tp(
     o = jax.lax.psum(o, axis) + p["fc2"]["bias"].astype(dtype)
     if train and dropout > 0.0:
         o = _dropout(o, dropout, k_out)  # same mask on every model shard
-    return x + o
+    return x + o, jnp.float32(0.0)
 
 
 def _tp_layout(stacked: dict, num_heads: int) -> tuple[dict, Any]:
     """Reshape the scan-stacked flax block params into the head-/hidden-split
     layout _block_tp consumes, plus the matching PartitionSpec tree (depth
-    over 'stage', head/hidden dims over 'model')."""
+    over 'stage', head/hidden dims over 'model').
+
+    MoE blocks ('moe' instead of 'mlp' in the stacked tree): the expert
+    hidden dim F is the TP split — wi (depth,E,D,F) and bi (depth,E,F)
+    column-parallel, wo (depth,E,F,D) row-parallel; router kernel and bo
+    replicated (every shard routes identically; see _block_tp).
+    """
     depth, D, _ = stacked["attn"]["qkv"]["kernel"].shape
     dh = D // num_heads
     params = {
@@ -164,8 +209,6 @@ def _tp_layout(stacked: dict, num_heads: int) -> tuple[dict, Any]:
                 depth, num_heads, dh, D),
             "bias": stacked["attn"]["proj"]["bias"],
         },
-        "fc1": stacked["mlp"]["fc1"],
-        "fc2": stacked["mlp"]["fc2"],
     }
     S, M = "stage", "model"
     specs = {
@@ -174,9 +217,26 @@ def _tp_layout(stacked: dict, num_heads: int) -> tuple[dict, Any]:
         "qkv": {"kernel": P(S, None, None, M, None),
                 "bias": P(S, None, M, None)},
         "proj": {"kernel": P(S, M, None, None), "bias": P(S, None)},
-        "fc1": {"kernel": P(S, None, M), "bias": P(S, M)},
-        "fc2": {"kernel": P(S, M, None), "bias": P(S, None)},
     }
+    if "moe" in stacked:
+        moe = stacked["moe"]
+        params.update({
+            "router": moe["router"],
+            "wi": moe["wi"], "bi": moe["bi"],
+            "wo": moe["wo"], "bo": moe["bo"],
+        })
+        specs.update({
+            "router": {"kernel": P(S, None, None)},
+            "wi": P(S, None, None, M), "bi": P(S, None, M),
+            "wo": P(S, None, M, None), "bo": P(S, None, None),
+        })
+    else:
+        params.update({"fc1": stacked["mlp"]["fc1"],
+                       "fc2": stacked["mlp"]["fc2"]})
+        specs.update({
+            "fc1": {"kernel": P(S, None, M), "bias": P(S, M)},
+            "fc2": {"kernel": P(S, M, None), "bias": P(S, None)},
+        })
     return params, specs
 
 
@@ -196,25 +256,36 @@ def vit_apply_pp_tp(
     Same contract as ``pp.vit_apply_pp``: needs ``scan_blocks=True``,
     ``token_sharding=None``; training with dropout needs ``rng``. Requires
     ``num_heads`` divisible by the 'model' axis size.
+
+    MoE models: the expert hidden dim F is the TP split (see _block_tp /
+    _tp_layout); F must divide the 'model' axis size. As on the pp path,
+    TRAINING returns ``(logits, moe_aux)`` — add the aux to the loss like
+    train/steps.py does; ``expert_sharding`` (GSPMD EP) cannot appear
+    inside the shard_map and must be None.
     """
+    from dlsc_tpu.models.moe import as_moe_spec
+
     if not model.scan_blocks:
         raise ValueError("pp×tp needs scan_blocks=True "
                          "(depth-stacked block params)")
-    if getattr(model, "moe", None) is not None:
+    moe = as_moe_spec(getattr(model, "moe", None))
+    if moe is not None and model.expert_sharding is not None:
         raise ValueError(
-            "pp×tp does not support MoE blocks (the manual Megatron block "
-            "math covers the dense MLP only); use pp for MoE inference or "
-            "expert parallelism (+trainer.expert_parallel=N) for training")
+            "pp×tp does not compose with expert_sharding (GSPMD constraints "
+            "cannot appear inside the pipeline's shard_map); build the model "
+            "with expert_sharding=None")
     tp = int(mesh.shape["model"])
     if model.num_heads % tp:
         raise ValueError(
             f"num_heads {model.num_heads} not divisible by model axis {tp}"
         )
-    hidden = variables["params"]["blocks"]["block"]["mlp"]["fc1"][
-        "kernel"].shape[-1]
+    blocks_p = variables["params"]["blocks"]["block"]
+    hidden = (blocks_p["moe"]["wi"] if moe is not None
+              else blocks_p["mlp"]["fc1"]["kernel"]).shape[-1]
     if hidden % tp:
         raise ValueError(
-            f"MLP hidden {hidden} not divisible by model axis {tp}"
+            f"{'expert' if moe is not None else 'MLP'} hidden {hidden} "
+            f"not divisible by model axis {tp}"
         )
     dropout_active = train and (model.dropout > 0 or model.attn_dropout > 0)
     if dropout_active and rng is None:
@@ -228,16 +299,16 @@ def vit_apply_pp_tp(
         )
 
     tokens, n_real = model.apply(variables, x, part="embed")
-    stacked = variables["params"]["blocks"]["block"]
-    tp_params, specs = _tp_layout(stacked, model.num_heads)
+    tp_params, specs = _tp_layout(blocks_p, model.num_heads)
     dh = model.emb_dim // model.num_heads
+    moe_aux = moe is not None and train
 
     def block_fn(p, h, key):
         return _block_tp(
             p, h, dh=dh, dropout=model.dropout,
             attn_dropout=model.attn_dropout, dtype=model.dtype, train=train,
             key=key, axis="model", n_real=n_real, use_flash=model.use_flash,
-            attn_impl=model.attn_impl,
+            attn_impl=model.attn_impl, moe=moe, n_tp=tp,
         )
 
     if model.remat:
@@ -248,10 +319,15 @@ def vit_apply_pp_tp(
         block_fn = jax.checkpoint(block_fn, **kw)
 
     def apply_block(p, h, key=None):
-        return block_fn(p, h, key)
+        out = block_fn(p, h, key)
+        return out if moe_aux else out[0]
 
     y = pipeline_blocks(
         apply_block, tp_params, tokens, mesh=mesh, n_micro=n_micro,
         rng=rng if dropout_active else None, param_specs=specs,
+        with_aux=moe_aux,
     )
+    if moe_aux:
+        y, aux = y
+        return model.apply(variables, y, part="finalize"), aux
     return model.apply(variables, y, part="finalize")

@@ -452,9 +452,8 @@ def _moe_pp_fixture(depth=4, top_k=1, batch=8, remat=False):
 
 def test_pp_moe_inference_matches_sequential():
     """MoE blocks ride the GPipe pipeline for inference (self-contained block
-    math); pp×tp still rejects MoE (dense-MLP-only manual math)."""
+    math)."""
     from dlsc_tpu.parallel.pp import get_pp_mesh, vit_apply_pp
-    from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
 
     if jax.device_count() < 8:
         pytest.skip("needs the 8-device virtual mesh")
@@ -464,8 +463,36 @@ def test_pp_moe_inference_matches_sequential():
     pp = vit_apply_pp(model, v, x, mesh=mesh, n_micro=2, train=False)
     np.testing.assert_allclose(np.asarray(pp), np.asarray(seq), atol=1e-5)
 
-    with pytest.raises(ValueError, match="MoE"):
-        vit_apply_pp_tp(model, v, x, mesh=get_pp_tp_mesh(8, 2, 2), n_micro=2)
+
+def test_pp_tp_moe_matches_sequential():
+    """MoE under pp×tp: the expert hidden dim is the Megatron split (wi/bi
+    column-, wo row-parallel, router replicated — parallel/pp_tp.py). On
+    (data=1, stage=2, model=2, n_micro=1) inference output, training loss
+    and the full gradient tree are exactly the sequential model's."""
+    from dlsc_tpu.parallel.pp_tp import get_pp_tp_mesh, vit_apply_pp_tp
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    model, x, y, v, seq_loss = _moe_pp_fixture(top_k=2)
+    mesh = get_pp_tp_mesh(4, 2, 2)
+
+    seq = model.apply(v, x, train=False)
+    out = vit_apply_pp_tp(model, v, x, mesh=mesh, n_micro=1, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=1e-5)
+
+    def pp_loss(params):
+        logits, aux = vit_apply_pp_tp(
+            model, {"params": params}, x, mesh=mesh, n_micro=1, train=True)
+        ce = -jnp.mean(jnp.sum(y * jax.nn.log_softmax(logits), axis=-1))
+        return ce + aux
+
+    ls, gs = jax.value_and_grad(seq_loss)(v["params"])
+    lp, gp = jax.value_and_grad(pp_loss)(v["params"])
+    np.testing.assert_allclose(float(lp), float(ls), rtol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        gp, gs)
 
 
 def test_pp_moe_train_exact_parity_single_shard():
