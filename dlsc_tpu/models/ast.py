@@ -27,6 +27,21 @@ import numpy as np
 from dlsc_tpu.models.vit import ASTViT
 
 
+# deit variant name → ViT trunk dims (emb_dim, depth, num_heads). In the
+# reference the variant is a timm model id and picking a different one
+# changes model capacity (src/models/ast.py:19; it is also an HPO dimension,
+# configs/optimization/hyperparameter_spaces/models/ast.yaml). dlsc_tpu
+# resolves the same dims from the name; the input-image size suffix
+# (224/384) only affects the source pos-embed grid, which the weight
+# importer reads from the checkpoint shapes.
+_DEIT_VARIANTS: dict[str, tuple[int, int, int]] = {
+    "deit_tiny_patch16_224": (192, 12, 3),
+    "deit_small_patch16_224": (384, 12, 6),
+    "deit_base_patch16_224": (768, 12, 12),
+    "deit_base_patch16_384": (768, 12, 12),
+}
+
+
 def ASTModel(
     num_classes: int = 50,
     sample_rate: int = 44_100,
@@ -34,9 +49,9 @@ def ASTModel(
     patch_stride: int = 10,
     overlap: int = 6,
     pretrained_model: str = "deit_base_patch16_384",
-    emb_dim: int = 768,
-    depth: int = 12,
-    num_heads: int = 12,
+    emb_dim: int | None = None,
+    depth: int | None = None,
+    num_heads: int | None = None,
     dtype: Any = jnp.bfloat16,
     remat: bool = True,          # ViT-Base @ ~1650 tokens: remat blocks
     remat_policy: str = "attn_res",  # save splash out+lse: backward skips the
@@ -52,9 +67,21 @@ def ASTModel(
     quant: str | None = None,    # 'w8a8': int8 serving quantization
                                  # (inference-only; see models/vit.py)
 ) -> ASTViT:
-    """ViT-Base AST. ``pretrained_model`` is recorded for checkpoint metadata;
-    weight loading happens explicitly via ``load_torch_vit``."""
-    del pretrained_model
+    """AST over a deit ViT trunk. ``pretrained_model`` selects the trunk
+    dims (reference: src/models/ast.py:19 builds the named timm model);
+    explicit ``emb_dim``/``depth``/``num_heads`` override the variant table.
+    Weight loading happens explicitly via ``load_torch_vit``."""
+    var = _DEIT_VARIANTS.get(pretrained_model)
+    if var is None and (emb_dim is None or depth is None or num_heads is None):
+        raise ValueError(
+            f"unknown pretrained_model {pretrained_model!r}; known variants: "
+            f"{sorted(_DEIT_VARIANTS)} (or pass emb_dim/depth/num_heads "
+            "explicitly)"
+        )
+    v_emb, v_depth, v_heads = var if var is not None else (None, None, None)
+    emb_dim = v_emb if emb_dim is None else emb_dim
+    depth = v_depth if depth is None else depth
+    num_heads = v_heads if num_heads is None else num_heads
     return ASTViT(
         num_classes=num_classes,
         emb_dim=emb_dim,

@@ -31,14 +31,40 @@ class CheckpointManager:
         monitor: str = "val/acc",
         mode: str = "max",
         save_top_k: int = 1,
+        filename: str | None = None,
     ):
         self.dirpath = Path(dirpath).absolute()
         self.dirpath.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
+        # Lightning-style name template, e.g. the reference default
+        # "epoch-{epoch:02d}-val_acc-{val/acc:.3f}"
+        # (configs/base_training.yaml:114). None → same pattern derived
+        # from the monitored metric.
+        self.filename = filename
         self._saved: list[tuple[float, Path]] = []
         self._ckpt = ocp.StandardCheckpointer()
+
+    def _format_name(self, epoch: int, metrics: dict, value: float) -> str:
+        if not self.filename:
+            return f"epoch-{epoch:02d}-{self.monitor.replace('/', '_')}-{value:.3f}"
+
+        # Expand "{key}" / "{key:fmt}" where key is "epoch" or a metric name
+        # (metric names may contain "/", which str.format can't address).
+        def repl(m: re.Match) -> str:
+            key, fmt = m.group(1), m.group(2) or ""
+            if key == "epoch":
+                v: Any = epoch
+            elif key in metrics:
+                v = metrics[key]
+            elif key == self.monitor:
+                v = value
+            else:
+                return m.group(0)
+            return format(v, fmt)
+
+        return re.sub(r"\{([^{}:]+)(?::([^{}]*))?\}", repl, self.filename)
 
     # -- save ---------------------------------------------------------------
     def _state_to_pytree(self, state, to_host: bool = False) -> dict:
@@ -70,9 +96,7 @@ class CheckpointManager:
         )
         if not better:
             return None
-        name = _sanitize(
-            f"epoch-{epoch:02d}-{self.monitor.replace('/', '_')}-{value:.3f}"
-        )
+        name = _sanitize(self._format_name(epoch, metrics, value))
         path = self.dirpath / name
         if path.exists():
             shutil.rmtree(path)

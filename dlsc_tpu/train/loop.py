@@ -481,7 +481,8 @@ class Trainer:
         dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)
         self.ckpt_manager = (
             CheckpointManager(dirpath, **{k: ckpt_cfg[k] for k in
-                                          ("monitor", "mode", "save_top_k") if k in ckpt_cfg})
+                                          ("monitor", "mode", "save_top_k", "filename")
+                                          if k in ckpt_cfg})
             if self.enable_checkpointing else None
         )
         stopper = EarlyStopping(**early_stop_cfg) if early_stop_cfg else None

@@ -96,7 +96,8 @@ def param_importances_binned(trials) -> dict[str, float]:
     return {k: v / total for k, v in sorted(scores.items(), key=lambda kv: -kv[1])}
 
 
-def analyze(study, out_dir: Path, export_csv: bool) -> None:
+def analyze(study, out_dir: Path, export_csv: bool,
+            csv_path: Path | None = None, make_plots: bool = True) -> None:
     trials = study.trials
     states = {s: len(study.trials_by_state(s)) for s in
               (TrialState.COMPLETE, TrialState.PRUNED, TrialState.FAIL,
@@ -137,9 +138,10 @@ def analyze(study, out_dir: Path, export_csv: bool) -> None:
             print(f"    {k}: {v:.3f}")
 
     out_dir.mkdir(parents=True, exist_ok=True)
-    _plots(study, imps_binned or imps, out_dir)
-    if export_csv:
-        path = out_dir / f"{study.study_name}_trials.csv"
+    if make_plots:
+        _plots(study, imps_binned or imps, out_dir)
+    if export_csv or csv_path is not None:
+        path = csv_path or out_dir / f"{study.study_name}_trials.csv"
         names = sorted({k for t in trials for k in t.params})
         with open(path, "w", newline="") as f:
             w = _csv.writer(f)
@@ -293,21 +295,42 @@ def _contour_plots(done, imps, out_dir: Path, plt, max_pairs: int = 3) -> None:
 
 
 def main(argv=None) -> None:
+    # CLI mirrors reference scripts/analyze_study.py:277-315 (--study-name/-s,
+    # --storage-path/-p, --plots, --export, --list); the positional study name
+    # and --storage/--out/--csv spellings are kept as convenience aliases.
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("study_name", nargs="?")
-    p.add_argument("--storage", default="sqlite:///optuna_studies.db")
+    p.add_argument("study_name_pos", nargs="?", metavar="study_name")
+    p.add_argument("--study-name", "-s", dest="study_name")
+    p.add_argument("--storage-path", "-p", "--storage", dest="storage",
+                   default="sqlite:///optuna_studies.db",
+                   help="SQLite path or sqlite:/// URI")
     p.add_argument("--out", default="outputs/study_analysis")
-    p.add_argument("--csv", action="store_true")
+    p.add_argument("--plots", action="store_true",
+                   help="generate visualization plots")
+    p.add_argument("--no-plots", action="store_true",
+                   help="skip plot generation (plots default on when neither "
+                        "flag is given, matching prior behavior)")
+    p.add_argument("--export", metavar="CSV",
+                   help="export trials to this CSV file")
+    p.add_argument("--csv", action="store_true",
+                   help="export trials CSV into the output dir")
     p.add_argument("--list", action="store_true")
     args = p.parse_args(argv)
 
-    mgr = StudyManager(args.study_name or "", args.storage)
-    if args.list or not args.study_name:
+    storage = args.storage
+    if "://" not in storage:  # reference passes a bare .db path
+        storage = f"sqlite:///{storage}"
+    name = args.study_name or args.study_name_pos
+    mgr = StudyManager(name or "", storage)
+    if args.list or not name:
         for s in mgr.list_studies():
             print(f"  {s['study_name']}: {s['n_trials']} trials ({s['direction']})")
         return
     study = mgr.load_study()
-    analyze(study, Path(args.out), args.csv)
+    make_plots = not args.no_plots
+    analyze(study, Path(args.out), args.csv,
+            csv_path=Path(args.export) if args.export else None,
+            make_plots=make_plots)
 
 
 if __name__ == "__main__":

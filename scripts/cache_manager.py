@@ -75,11 +75,15 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cache-dir", default="data/cache")
     sub = p.add_subparsers(dest="cmd", required=True)
+    # defaults mirror the reference CLI (scripts/cache_manager.py:269-287):
+    # cleanup --max-age 30 days, optimize --max-size 5.0 GB, benchmark
+    # --mode envnet_v2
     sub.add_parser("stats")
-    c = sub.add_parser("cleanup"); c.add_argument("--max-age", type=float, required=True)
-    o = sub.add_parser("optimize"); o.add_argument("--max-size", type=float, required=True)
+    c = sub.add_parser("cleanup"); c.add_argument("--max-age", type=float, default=30)
+    o = sub.add_parser("optimize"); o.add_argument("--max-size", type=float, default=5.0)
     b = sub.add_parser("benchmark")
-    b.add_argument("--mode", default="ast", choices=["ast", "cnn_esc50"])
+    b.add_argument("--mode", default="envnet_v2",
+                   choices=["envnet_v2", "ast", "cnn_esc50"])
     b.add_argument("--n", type=int, default=32)
     args = p.parse_args()
     {"stats": cmd_stats, "cleanup": cmd_cleanup,

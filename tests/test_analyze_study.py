@@ -51,3 +51,23 @@ def test_analyze_list(tmp_path, capsys):
 
     A.main(["--list", "--storage", f"sqlite:///{db}"])
     assert "a1: 2 trials" in capsys.readouterr().out
+
+
+def test_analyze_reference_cli_flags(tmp_path, capsys):
+    """The reference CLI surface (scripts/analyze_study.py:277-315):
+    --study-name/-s, --storage-path as a bare .db path, --export CSV,
+    --no-plots to skip figure generation."""
+    db = tmp_path / "ref.db"
+    from dlsc_tpu.hpo import Study
+    Study("refstudy", db).optimize(
+        lambda t: t.suggest_float("x", 0, 1), n_trials=3)
+    import scripts.analyze_study as A
+
+    out = tmp_path / "an"
+    csv = tmp_path / "exported.csv"
+    A.main(["--study-name", "refstudy", "--storage-path", str(db),
+            "--out", str(out), "--export", str(csv), "--no-plots"])
+    text = capsys.readouterr().out
+    assert "best trial" in text
+    assert csv.exists() and "number,state,value" in csv.read_text().splitlines()[0]
+    assert not any(p.suffix == ".png" for p in out.iterdir())

@@ -161,3 +161,25 @@ def test_gabor_filters_follow_params(key):
     p2["GaborConv1d_0"]["bandwidths"] = p2["GaborConv1d_0"]["bandwidths"] * 0.3
     out2 = model.apply({**vars_, "params": p2}, x, train=False)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_ast_pretrained_model_sets_trunk_dims():
+    """The deit variant name selects trunk capacity, mirroring the reference
+    where pretrained_model is the timm model id (src/models/ast.py:19) and an
+    HPO dimension (hyperparameter_spaces/models/ast.yaml)."""
+    from dlsc_tpu.models.ast import ASTModel
+
+    dims = {
+        "deit_tiny_patch16_224": (192, 12, 3),
+        "deit_small_patch16_224": (384, 12, 6),
+        "deit_base_patch16_224": (768, 12, 12),
+        "deit_base_patch16_384": (768, 12, 12),
+    }
+    for name, (emb, depth, heads) in dims.items():
+        m = ASTModel(num_classes=5, pretrained_model=name)
+        assert (m.emb_dim, m.depth, m.num_heads) == (emb, depth, heads), name
+    # explicit dims override the variant table
+    m = ASTModel(num_classes=5, emb_dim=64, depth=2, num_heads=2)
+    assert (m.emb_dim, m.depth, m.num_heads) == (64, 2, 2)
+    with pytest.raises(ValueError, match="unknown pretrained_model"):
+        ASTModel(num_classes=5, pretrained_model="vit_base_patch32_224")

@@ -98,6 +98,26 @@ def test_checkpointing_disabled_with_save_top_k_zero(tmp_path):
     assert not any((tmp_path / "ck").iterdir())
 
 
+def test_checkpoint_filename_template(tmp_path):
+    """Lightning-style filename template from the reference config
+    (base_training.yaml: "epoch-{epoch:02d}-val_acc-{val/acc:.3f}") —
+    metric keys may contain '/', which str.format can't address."""
+    from dlsc_tpu.train.checkpoint import CheckpointManager, _sanitize
+
+    mgr = CheckpointManager(
+        tmp_path / "ck", monitor="val/acc", mode="max", save_top_k=1,
+        filename="epoch-{epoch:02d}-val_acc-{val/acc:.3f}")
+    name = mgr._format_name(epoch=7, metrics={"val/acc": 0.83456}, value=0.83456)
+    assert name == "epoch-07-val_acc-0.835"
+    assert _sanitize(name) == "epoch-07-val_acc-0.835"
+    # unknown placeholders survive verbatim rather than crashing
+    mgr.filename = "e{epoch}-{unknown/metric}"
+    assert mgr._format_name(1, {}, 0.0) == "e1-{unknown/metric}"
+    # default (filename=None) keeps the derived reference-shaped name
+    mgr.filename = None
+    assert mgr._format_name(3, {}, 0.25) == "epoch-03-val_acc-0.250"
+
+
 @pytest.mark.slow
 def test_resume_from_checkpoint(dm_root, tmp_path):
     dm = _dm(dm_root)
