@@ -131,7 +131,11 @@ class CheckpointManager:
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
-            rng=jax.random.wrap_key_data(restored["rng"]),
+            # impl from the live key: wrap_key_data defaults to threefry,
+            # which breaks restore under $DLSC_RNG_IMPL=rbg/unsafe_rbg
+            rng=jax.random.wrap_key_data(
+                restored["rng"], impl=jax.random.key_impl(state.rng)
+            ),
         )
 
 

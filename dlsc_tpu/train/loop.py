@@ -37,6 +37,7 @@ from dlsc_tpu.train.losses import CrossEntropyLoss
 from dlsc_tpu.train.optim import OptimizerSpec, SchedulerSpec, build_optimizer
 from dlsc_tpu.train.state import TrainState
 from dlsc_tpu.train.steps import make_eval_step, make_train_step
+from dlsc_tpu.utils.runtime import rng_key
 
 
 def _is_oom(e: Exception) -> bool:
@@ -231,7 +232,8 @@ class Trainer:
             params=variables["params"],
             batch_stats=variables.get("batch_stats"),
             tx=tx,
-            rng=jax.random.key(self.seed),
+            # honors $DLSC_RNG_IMPL (rbg = TPU hardware RNG for dropout masks)
+            rng=rng_key(self.seed),
         )
 
     def _compile_steps(self, pipeline, criterion, state=None):

@@ -3,7 +3,8 @@
 from dlsc_tpu.utils.runtime import (
     enable_compilation_cache,
     fix_seed,
+    rng_key,
     wait_for_backend,
 )
 
-__all__ = ["enable_compilation_cache", "fix_seed", "wait_for_backend"]
+__all__ = ["enable_compilation_cache", "fix_seed", "rng_key", "wait_for_backend"]

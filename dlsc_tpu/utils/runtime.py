@@ -38,6 +38,26 @@ def fix_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def rng_key(seed: int):
+    """Root PRNG key for a training run, honoring ``$DLSC_RNG_IMPL``.
+
+    ``threefry2x32`` (the JAX default, and ours) is counter-based and fully
+    deterministic across shardings; ``rbg``/``unsafe_rbg`` use the TPU's
+    hardware RNG instructions and generate dropout masks several times
+    faster, at the cost of weaker stability guarantees across XLA versions
+    (fine for throughput experiments, not for bitwise-reproducible runs).
+    All per-step keys (dropout, pipeline augmentation) derive from this root
+    via ``jax.random.split``/``fold_in``, which preserve the impl — so this
+    one knob switches the whole step's mask generation.
+    """
+    import jax
+
+    impl = os.environ.get("DLSC_RNG_IMPL")
+    if impl:
+        return jax.random.key(seed, impl=impl)
+    return jax.random.key(seed)
+
+
 def wait_for_backend(max_probes: int | None = None) -> None:
     """Ride out transient axon-TPU UNAVAILABLE windows before device work.
 

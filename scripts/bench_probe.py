@@ -85,6 +85,9 @@ VARIANTS = {
                                      remat=True, remat_policy="full")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
+    # dropout-mask RNG impl: threefry (default) vs TPU hardware RNG
+    "default_rbg_b64": (64, dict(), {"DLSC_RNG_IMPL": "rbg"}),
+    "default_urbg_b64": (64, dict(), {"DLSC_RNG_IMPL": "unsafe_rbg"}),
     # US8K shapes: 4-s clips -> ~1104 mel frames -> 1310 tokens, pad 1536
     # (_fit clamps the default blocks to 768,1536,768)
     "us8k_ast_b32": (32, dict()),
@@ -125,9 +128,10 @@ def run_variant(name: str, batch: int, model_kw: dict, n_iters: int = 10) -> flo
     )
     tx, _ = build_optimizer(adam(lr=5e-4, weight_decay=1e-6),
                             cosine_annealing(T_max=100), 25, 1.0)
+    from dlsc_tpu.utils.runtime import rng_key
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
-        batch_stats=variables.get("batch_stats"), tx=tx, rng=jax.random.key(0),
+        batch_stats=variables.get("batch_stats"), tx=tx, rng=rng_key(0),
     )
     ms = MetricState.create(50)
     step = jax.jit(make_train_step(pipe, CrossEntropyLoss()),
@@ -232,6 +236,7 @@ def main(argv: list[str]) -> None:
         os.environ.pop("DLSC_SPLASH_BLOCKS", None)
         os.environ.pop("DLSC_SPLASH_UNFUSED", None)
         os.environ.pop("DLSC_SPLASH_PAD", None)
+        os.environ.pop("DLSC_RNG_IMPL", None)
         for k, v in (env[0] if env else {}).items():
             os.environ[k] = v
         print(f"[probe] building {name} …", flush=True)

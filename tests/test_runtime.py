@@ -70,3 +70,33 @@ def test_fails_fast_on_non_transient_error():
     with pytest.raises(RuntimeError, match="unavailable"):
         _run_in_uninitialized_state(lambda *a, **k: (calls.append(1), _OTHER)[1])
     assert len(calls) == 1  # not the outage signature: no retries
+
+
+# -- rng_key ($DLSC_RNG_IMPL) -------------------------------------------------
+
+def test_rng_key_default_is_threefry(monkeypatch):
+    import jax
+
+    from dlsc_tpu.utils import rng_key
+
+    monkeypatch.delenv("DLSC_RNG_IMPL", raising=False)
+    k = rng_key(7)
+    assert str(jax.random.key_impl(k)) == str(jax.random.key_impl(jax.random.key(7)))
+
+
+def test_rng_key_env_selects_rbg_and_split_preserves_impl(monkeypatch):
+    import jax
+
+    from dlsc_tpu.utils import rng_key
+
+    monkeypatch.setenv("DLSC_RNG_IMPL", "rbg")
+    k = rng_key(7)
+    impl = str(jax.random.key_impl(k))
+    assert "rbg" in impl
+    # all per-step keys derive via split/fold_in — impl must survive both
+    k1, k2 = jax.random.split(k)
+    assert "rbg" in str(jax.random.key_impl(k1))
+    assert "rbg" in str(jax.random.key_impl(jax.random.fold_in(k2, 3)))
+    # and the key is actually usable for mask generation
+    mask = jax.random.bernoulli(k1, 0.5, (16,))
+    assert mask.shape == (16,)

@@ -118,6 +118,35 @@ def test_checkpoint_filename_template(tmp_path):
     assert mgr._format_name(3, {}, 0.25) == "epoch-03-val_acc-0.250"
 
 
+@pytest.mark.parametrize("impl", [None, "rbg"])
+def test_checkpoint_roundtrips_rng_impl(tmp_path, impl):
+    """save/restore must round-trip non-default PRNG impls
+    ($DLSC_RNG_IMPL=rbg keys are 4×uint32; wrap_key_data defaults to
+    threefry and would reject them without the impl= passthrough)."""
+    import optax
+
+    from dlsc_tpu.train.checkpoint import CheckpointManager
+    from dlsc_tpu.train.state import TrainState
+
+    key = jax.random.key(3, impl=impl) if impl else jax.random.key(3)
+    params = {"w": jnp.ones((4, 4))}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(
+        apply_fn=lambda *a, **k: None, params=params, batch_stats=None,
+        tx=tx, rng=key)
+    state = state.replace(rng=jax.random.fold_in(state.rng, 11))
+
+    mgr = CheckpointManager(tmp_path / "ck", monitor="val/acc", save_top_k=1)
+    path = mgr.save(state, epoch=0, metrics={"val/acc": 0.5})
+    fresh = TrainState.create(
+        apply_fn=lambda *a, **k: None, params=params, batch_stats=None,
+        tx=tx, rng=jax.random.key(0, impl=impl) if impl else jax.random.key(0))
+    restored = mgr.restore(path, fresh)
+    assert str(jax.random.key_impl(restored.rng)) == str(jax.random.key_impl(key))
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored.rng), jax.random.key_data(state.rng))
+
+
 @pytest.mark.slow
 def test_resume_from_checkpoint(dm_root, tmp_path):
     dm = _dm(dm_root)
