@@ -71,24 +71,57 @@ class HyperbandPruner:
 
     A trial is deterministically assigned to a bracket by number; bracket b
     applies SuccessiveHalving with early-stopping rate b (later rungs →
-    gentler pruning)."""
+    gentler pruning).
+
+    ``max_resource='auto'`` follows optuna's semantics: the value is resolved
+    lazily from the last reported step of the first trial to COMPLETE (its
+    actual epoch budget), and no pruning happens until then. The reference
+    passes an explicit 100 (src/optimization/study_manager.py:69-78), so the
+    parity path never exercises 'auto' — but when it is used, the bracket
+    count must follow the real budget, not a hardcoded 100."""
 
     def __init__(self, min_resource: int = 1, max_resource: int | str = 100,
                  reduction_factor: int = 3):
         self.min_resource = min_resource
-        self.max_resource = 100 if max_resource == "auto" else int(max_resource)
         self.rf = reduction_factor
+        self.max_resource: int | None = (
+            None if max_resource == "auto" else int(max_resource))
+        self.n_brackets: int | None = None
+        self._shas: list[SuccessiveHalvingPruner] | None = None
+        if self.max_resource is not None:
+            self._build_brackets()
+
+    def _build_brackets(self) -> None:
         self.n_brackets = (
             int(math.log(max(self.max_resource / self.min_resource, 1), self.rf)) + 1
         )
         self._shas = [
-            SuccessiveHalvingPruner(min_resource, reduction_factor,
+            SuccessiveHalvingPruner(self.min_resource, self.rf,
                                     min_early_stopping_rate=b)
             for b in range(self.n_brackets)
         ]
 
+    def _try_resolve_auto(self, study: Study) -> bool:
+        """Resolve max_resource from completed trials (optuna 'auto')."""
+        if self._shas is not None:
+            return True
+        steps = [t.last_step for t in study.trials
+                 if t.state == TrialState.COMPLETE and t.last_step is not None]
+        if not steps:
+            return False
+        # optuna: max_resource = max(last_step over COMPLETE trials) + 1
+        self.max_resource = max(steps) + 1
+        self._build_brackets()
+        return True
+
     def bracket_of(self, trial: Trial) -> int:
+        if self.n_brackets is None:
+            raise RuntimeError(
+                "HyperbandPruner(max_resource='auto') not yet resolved: "
+                "no trial has completed")
         return trial.number % self.n_brackets
 
     def prune(self, study: Study, trial: Trial) -> bool:
+        if not self._try_resolve_auto(study):
+            return False  # 'auto' unresolved: optuna never prunes before then
         return self._shas[self.bracket_of(trial)].prune(study, trial)

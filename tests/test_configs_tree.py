@@ -62,11 +62,23 @@ def test_urbansound8k_dataset_config():
 
 
 def test_experiment_config_with_absolute_defaults():
-    cfg = compose(CONFIG_DIR, "experiment/ast_bf16_fast", [])
+    cfg = compose(CONFIG_DIR, "experiments/ast_bf16_fast", [])
     assert cfg.trainer.precision == "bf16-mixed"
     assert cfg.optimizer.lr == 5e-4
     assert cfg.model.patch_stride == 10          # from /model: ast
     assert cfg.dataset.num_classes == 50
     # group overrides still work through the experiment config
-    cfg2 = compose(CONFIG_DIR, "experiment/ast_bf16_fast", ["model=ast_mini"])
+    cfg2 = compose(CONFIG_DIR, "experiments/ast_bf16_fast", ["model=ast_mini"])
     assert "ast_mini" in cfg2.model["_target_"]
+
+
+def test_configs_tree_layout_matches_reference():
+    """Directory layout mirrors the reference's configs/ tree (PARITY.md):
+    exactly one experiments/ dir — no stray singular 'experiment/'
+    (VERDICT r2 #9)."""
+    subdirs = sorted(p.name for p in CONFIG_DIR.iterdir() if p.is_dir())
+    assert "experiments" in subdirs
+    assert "experiment" not in subdirs
+    # reference top-level groups all present (reference: configs/)
+    for d in ("dataset", "model", "optimization", "experiments"):
+        assert d in subdirs, f"missing configs/{d}/"

@@ -249,3 +249,31 @@ def test_hyperband_keep_fraction_uses_ceil(tmp_path):
     t2 = study.ask()
     t2.report(0.05, 1)
     assert study.pruner.prune(study, t2)
+
+
+def test_hyperband_auto_max_resource_follows_budget(tmp_path):
+    """max_resource='auto' resolves from the first completed trial's step
+    budget (optuna semantics), not a hardcoded 100 (VERDICT r2 #7)."""
+    pruner = HyperbandPruner(min_resource=1, max_resource="auto",
+                             reduction_factor=3)
+    study = Study("hbauto", tmp_path / "a.db", "maximize", pruner=pruner)
+
+    # Before any COMPLETE trial: never prunes, brackets unresolved.
+    t0 = study.ask()
+    t0.report(0.0, 1)
+    assert not pruner.prune(study, t0)
+    assert pruner.n_brackets is None
+
+    # Complete a trial reporting at steps 1..9 (budget of 9 epochs).
+    for step in range(1, 10):
+        t0.report(0.5 * step / 9, step)
+    study.tell(t0, 0.5, TrialState.COMPLETE)
+
+    t1 = study.ask()
+    t1.report(0.9, 1)
+    pruner.prune(study, t1)  # triggers resolution
+    assert pruner.max_resource == 10  # max last_step + 1, optuna convention
+    # bracket count follows the real budget: log3(10) + 1 = 3, not log3(100)+1=5
+    assert pruner.n_brackets == 3
+    explicit = HyperbandPruner(min_resource=1, max_resource=100)
+    assert explicit.n_brackets == 5  # explicit value unaffected
