@@ -6,11 +6,14 @@ Usage:
     python scripts/analyze_study.py STUDY_NAME [--storage ...] [--out DIR] [--csv]
 
 Reports trial-state stats, pruning-epoch stats, the best trial with its
-learning curve, parameter importances (two dependency-free fANOVA stand-ins:
-rank-correlation proxy and binned-variance main-effect decomposition), and
-writes matplotlib plots (optimization history, importances, slice,
-parallel-coordinate, and contour plots — the same plot family as the
-reference's plotly set, scripts/analyze_study.py:183-216) + CSV export.
+learning curve, parameter importances — primary: real random-forest fANOVA
+(dlsc_tpu.hpo.fanova, the algorithm behind the reference's
+``optuna.importance.get_param_importances``, scripts/analyze_study.py:167-180),
+cross-checked by two dependency-light proxies (rank-correlation and
+binned-variance main effects) — and writes matplotlib plots (optimization
+history, importances, slice, parallel-coordinate, and contour plots — the
+same plot family as the reference's plotly set,
+scripts/analyze_study.py:183-216) + CSV export.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from dlsc_tpu.hpo import StudyManager, TrialState
+from dlsc_tpu.hpo.fanova import fanova_importances
 
 
 def param_importances(trials) -> dict[str, float]:
@@ -126,6 +130,11 @@ def analyze(study, out_dir: Path, export_csv: bool,
               f"{', '.join(f'{v:.3f}' for v in curve[:12])}"
               + (" …" if len(curve) > 12 else ""))
 
+    imps_fanova = fanova_importances(trials)
+    if imps_fanova:
+        print("parameter importances (fANOVA, random forest):")
+        for k, v in imps_fanova.items():
+            print(f"    {k}: {v:.3f}")
     imps = param_importances(trials)
     if imps:
         print("parameter importances (rank-correlation proxy):")
@@ -139,7 +148,7 @@ def analyze(study, out_dir: Path, export_csv: bool,
 
     out_dir.mkdir(parents=True, exist_ok=True)
     if make_plots:
-        _plots(study, imps_binned or imps, out_dir)
+        _plots(study, imps_fanova or imps_binned or imps, out_dir)
     if export_csv or csv_path is not None:
         path = csv_path or out_dir / f"{study.study_name}_trials.csv"
         names = sorted({k for t in trials for k in t.params})
@@ -151,7 +160,8 @@ def analyze(study, out_dir: Path, export_csv: bool,
                             *[t.params.get(n) for n in names]])
         print(f"csv → {path}")
     (out_dir / f"{study.study_name}_summary.json").write_text(
-        json.dumps({**study.summary(), "importances": imps,
+        json.dumps({**study.summary(), "importances_fanova": imps_fanova,
+                    "importances": imps,
                     "importances_binned": imps_binned}, indent=2))
 
 
