@@ -36,7 +36,9 @@ def ASTMoE(
     aux_weight: float = 1e-2,
     router_z_weight: float = 1e-3,
     router: str = "token",      # 'token' (Switch/GShard) | 'expert' (Zhou 2022)
-    dispatch: str = "scatter",  # 'scatter' | 'einsum' (models/moe.py)
+    dispatch: str = "einsum",   # 'einsum' | 'scatter' — einsum measured 18%
+                                # faster fwd+bwd on TPU v5e (models/moe.py,
+                                # BASELINE.md round 3)
     group_size: int = 256,
     dtype: Any = jnp.bfloat16,
     attn_impl: str = "splash",

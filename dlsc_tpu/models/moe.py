@@ -51,12 +51,23 @@ class MoeSpec:
                                   # expert picks its top-C tokens; perfectly
                                   # balanced by construction, no balance loss,
                                   # variable experts-per-token)
-    dispatch: str = "scatter"     # dispatch lowering: 'scatter' (scatter-add/
-                                  # gather, O(tokens·D) HBM traffic) or
-                                  # 'einsum' (GShard one-hot matmuls — zero
-                                  # scatters, all MXU, O(S·E·C) one-hot
-                                  # operands per group). Routing semantics are
-                                  # identical; pick by measured step time.
+    dispatch: str = "einsum"      # dispatch lowering: 'einsum' (GShard
+                                  # one-hot matmuls — zero scatters, all MXU,
+                                  # O(S·E·C) one-hot operands per group) or
+                                  # 'scatter' (scatter-add/gather, O(tokens·D)
+                                  # HBM traffic). Routing semantics are
+                                  # identical; default picked by measured TPU
+                                  # v5e step time (scripts/bench_moe.py,
+                                  # BASELINE.md round 3): at the AST-MoE
+                                  # shape (384d/8E/top-2, B=32, N=1792,
+                                  # group 256) einsum fwd+bwd = 21.0 ms vs
+                                  # scatter 25.8 ms (XLA:TPU serializes the
+                                  # scatter expander). einsum wins at group
+                                  # 256/448; only at the degenerate single
+                                  # full-sequence group (1792, where the
+                                  # one-hot operands blow up to O(N·E·C))
+                                  # does scatter win back — moot at the
+                                  # shipped group_size=256.
     group_size: int = 256         # routing group: tokens are routed within
                                   # fixed groups of ≤ this many tokens (the
                                   # largest divisor of N is used), with

@@ -40,7 +40,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.8 exports shard_map at top level
     from jax import shard_map
@@ -225,6 +225,57 @@ def pipeline_blocks(
     )
     y, aux = fn(stacked_params, x, rng)
     return (y, aux) if with_aux else y
+
+
+def make_pp_apply_fn(model, mesh: Mesh, n_micro: int):
+    """``state.apply_fn``-compatible wrapper around :func:`vit_apply_pp`.
+
+    This is what makes PP a product feature rather than a library call
+    (`+trainer.pipeline_parallel=S`): the standard train/eval steps
+    (train/steps.py) call ``apply_fn(variables, inputs, train=..., rngs=...,
+    mutable=[...])``; this adapter routes that call through the pipelined
+    forward. MoE aux losses — which ride the pipeline scan because flax
+    intermediates cannot cross the shard_map boundary (vit_apply_pp) — are
+    surfaced back through a synthetic ``intermediates`` collection under the
+    ``moe_aux`` key, exactly where ``collect_moe_aux`` looks, so the train
+    step needs no PP-specific code.
+    """
+
+    def apply_fn(variables, inputs, train=False, rngs=None, mutable=None):
+        rng = (rngs or {}).get("dropout")
+        out = vit_apply_pp(model, variables, inputs, mesh=mesh,
+                           n_micro=n_micro, train=train, rng=rng)
+        if mutable is None:
+            return out
+        if isinstance(out, tuple):  # MoE training: (logits, aux)
+            logits, aux = out
+            return logits, {"intermediates": {"moe_aux": (aux,)}}
+        return out, {}
+
+    return apply_fn
+
+
+def pp_state_shardings(state: Any, mesh: Mesh, axis: str = "stage") -> Any:
+    """TrainState-shaped pytree of NamedShardings for pipeline training.
+
+    Every leaf whose tree path traverses the stacked encoder blocks
+    (``blocks``/``block`` — the nn.scan layout, leading depth dim) is sharded
+    ``P(axis)`` so each stage holds only its own layers' params; the Adam
+    moments mirror the params tree, so the same path rule shards them
+    identically. Everything else (embed/head params, step counter, rng,
+    schedules) is replicated. Valid as jit in_/out_shardings for the train
+    step: the optimizer update on stacked leaves is elementwise, so GSPMD
+    keeps it stage-local.
+    """
+    from dlsc_tpu.parallel.mesh import path_keys
+
+    def one(path, leaf):
+        keys = path_keys(path)
+        if "block" in keys or "blocks" in keys:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, state)
 
 
 def vit_apply_pp(

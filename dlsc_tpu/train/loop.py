@@ -155,8 +155,13 @@ class Trainer:
         plan: MeshPlan | None = None,
         profile_dir: str | Path | None = None,  # jax.profiler trace of epoch 0
         device_data: bool | str = "auto",   # dataset-in-HBM mode ('auto':
-                                            # on when the pool fits the cap)
-        device_data_max_bytes: int = 6_000_000_000,
+                                            # on when the pool fits the budget)
+        device_data_max_bytes: int | None = None,  # explicit pool-byte cap;
+                                            # None = compute the budget from
+                                            # live HBM stats (see
+                                            # _device_pool_budget), falling
+                                            # back to 6 GB when the backend
+                                            # exposes no memory stats
         fsdp: bool = False,  # ZeRO-3-style param+optimizer sharding over the
                              # mesh 'data' axis (parallel/fsdp.py); no-op on a
                              # single chip. `+trainer.fsdp=true`
@@ -165,6 +170,17 @@ class Trainer:
                              # devices on 'model', shards the stacked expert
                              # weights + dispatch buffers over it
                              # (parallel/ep.py). `+trainer.expert_parallel=2`
+        pipeline_parallel: int = 1,  # GPipe pipeline parallelism for the ViT
+                             # family: shards the depth-stacked encoder blocks
+                             # over this many 'stage' devices and streams
+                             # microbatches through with ppermute hops
+                             # (parallel/pp.py). Forces scan_blocks=True.
+                             # `+trainer.pipeline_parallel=2`
+        pp_microbatches: int | None = None,  # GPipe microbatches per step
+                             # (default: = pipeline_parallel; more microbatches
+                             # → smaller bubble (S-1)/(M+S-1) but smaller
+                             # per-tick matmuls). batch_size must be divisible
+                             # by n_data × pp_microbatches.
         accumulate_grad_batches: int = 1,  # split each batch into M
                              # sequential micro-batches under lax.scan inside
                              # the jitted step (~M× lower activation memory,
@@ -190,6 +206,31 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)  # sanitizer toggle (§5.2)
         n_dev = None if devices in ("auto", None) else int(devices)
         self.expert_parallel = int(expert_parallel)
+        self.pipeline_parallel = int(pipeline_parallel)
+        self.pp_microbatches = (int(pp_microbatches) if pp_microbatches
+                                else self.pipeline_parallel)
+        if self.pipeline_parallel > 1:
+            if self.expert_parallel > 1:
+                raise ValueError(
+                    "pipeline_parallel does not compose with expert_parallel "
+                    "(GSPMD expert shardings cannot appear inside the "
+                    "pipeline's shard_map; see parallel/pp.py design notes) — "
+                    "MoE models still run under PP, with experts local to "
+                    "each stage")
+            if fsdp:
+                raise ValueError(
+                    "pipeline_parallel does not compose with fsdp: stage "
+                    "sharding already partitions the encoder params (the "
+                    "dominant memory); pick one")
+            if (n_dev or jax.device_count()) < self.pipeline_parallel:
+                raise ValueError(
+                    f"pipeline_parallel={self.pipeline_parallel} needs at "
+                    f"least that many devices (have "
+                    f"{n_dev or jax.device_count()})")
+            from dlsc_tpu.parallel.pp import get_pp_mesh
+
+            plan = plan or MeshPlan(
+                get_pp_mesh(n_dev, self.pipeline_parallel))
         if self.expert_parallel > 1:
             if (n_dev or jax.device_count()) < self.expert_parallel:
                 raise ValueError(
@@ -211,7 +252,8 @@ class Trainer:
 
     # -- state init -------------------------------------------------------------
     def init_state(self, model, datamodule, optim_spec, sched_spec,
-                   swa_lr_cfg: dict | None = None) -> TrainState:
+                   swa_lr_cfg: dict | None = None,
+                   apply_fn=None) -> TrainState:
         pipeline = datamodule.pipeline
         sample = next(iter(datamodule.train_batches(epoch=0)))
         wave = jnp.asarray(sample["wave"][:2])
@@ -228,7 +270,7 @@ class Trainer:
             self.gradient_clip_val, swa=swa_lr_cfg,
         )
         return TrainState.create(
-            apply_fn=model.apply,
+            apply_fn=apply_fn or model.apply,
             params=variables["params"],
             batch_stats=variables.get("batch_stats"),
             tx=tx,
@@ -256,7 +298,13 @@ class Trainer:
             rep, bat = plan.replicated, plan.batch
             st = rep
             ep_on = self.expert_parallel > 1 and state is not None
-            if self.fsdp and state is not None:
+            if self.pipeline_parallel > 1 and state is not None:
+                # stage-sharded stacked block params (+ their Adam moments);
+                # the pipelined forward itself lives in state.apply_fn
+                from dlsc_tpu.parallel.pp import pp_state_shardings
+
+                st = pp_state_shardings(state, plan.mesh)
+            elif self.fsdp and state is not None:
                 # ZeRO-3: params + optimizer moments sharded over 'data'
                 # (small leaves stay replicated); jit lays the incoming
                 # replicated state out on first call, GSPMD inserts the
@@ -301,6 +349,44 @@ class Trainer:
 
     # -- device-resident dataset (VERDICT r1 #2: the TPU-native equivalent of
     # the reference's host-RAM pre-load, esc50.py:167-191) --------------------
+    #: fraction of total HBM reserved for the train step's own temporaries
+    #: (activations/backward temps — only knowable exactly from the compiled
+    #: step, so the AOT preflight below stays the precise backstop). Sized
+    #: from the largest measured step: AST-Base b64 bf16 uses ≈7 GB of
+    #: weights+moments+temps ≈ 45% of a v5e's 15.75 GB (BASELINE.md).
+    POOL_HBM_RESERVE_FRAC = 0.45
+    POOL_FALLBACK_CAP = 6_000_000_000  # no memory stats → round-2 static cap
+
+    def _device_pool_budget(self) -> tuple[int, str]:
+        """(pool byte budget, human-readable arithmetic) for device_data
+        'auto' (VERDICT r2 #6: computed from live HBM, not a magic constant).
+
+        Budget = min over devices of (bytes_limit − bytes_in_use) − the
+        step-temporary reserve. At call time the TrainState already lives on
+        device, so bytes_in_use covers params + optimizer moments; the
+        reserve covers what only the compiled step knows (activations),
+        and the AOT preflight catches any remaining over-commitment.
+        """
+        if self.device_data_max_bytes is not None:
+            return int(self.device_data_max_bytes), "explicit cap"
+        from dlsc_tpu.utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()
+        usable = [
+            s["bytes_limit"] - s["bytes_in_use"]
+            - int(self.POOL_HBM_RESERVE_FRAC * s["bytes_limit"])
+            for s in stats.values()
+            if s.get("bytes_limit") and s.get("bytes_in_use") is not None
+        ]
+        if not usable:
+            return self.POOL_FALLBACK_CAP, "fallback cap (no HBM stats)"
+        budget = max(0, min(usable))
+        s = next(iter(stats.values()))
+        why = (f"live HBM: limit {s['bytes_limit'] / 1e9:.1f} GB − in-use "
+               f"{s['bytes_in_use'] / 1e9:.1f} GB − step reserve "
+               f"{self.POOL_HBM_RESERVE_FRAC * s['bytes_limit'] / 1e9:.1f} GB")
+        return budget, why
+
     def _setup_device_data(self, datamodule) -> None:
         """Decide on + perform the one-time pool upload (idempotent)."""
         if getattr(self, "_dd_ready", False):
@@ -311,11 +397,12 @@ class Trainer:
             return
         datamodule.setup()
         nbytes = datamodule.pool_nbytes
-        if nbytes > self.device_data_max_bytes:
-            if self.device_data is True:  # explicit request: warn loudly;
-                # 'auto' falls back silently
-                print(f"[data] device-resident pool disabled: {nbytes / 1e9:.1f} GB "
-                      f"exceeds cap {self.device_data_max_bytes / 1e9:.1f} GB")
+        budget, why = self._device_pool_budget()
+        if nbytes > budget:
+            # explicit True requests warn loudly; 'auto' logs the arithmetic
+            print(f"[data] device-resident pool disabled: pool "
+                  f"{nbytes / 1e9:.2f} GB exceeds budget {budget / 1e9:.2f} GB "
+                  f"({why})")
             return
         t0 = time.time()
         parts, pool_labels, test_w, test_y = datamodule.pool_parts()
@@ -347,6 +434,48 @@ class Trainer:
         print(f"[data] device-resident pool: {nbytes / 1e6:.0f} MB dispatched "
               f"in {time.time() - t0:.1f}s, transfer completes asynchronously "
               "(per-step wire traffic: indices only)")
+
+    def _setup_pipeline_parallel(self, model, datamodule):
+        """Prepare a model + apply_fn for `+trainer.pipeline_parallel=S`.
+
+        Clones the model into the PP-compatible configuration (scan_blocks
+        stacked layout; GSPMD token/expert shardings off — they cannot appear
+        inside the pipeline's shard_map, parallel/pp.py design notes) and
+        returns the pipelined apply_fn the train/eval steps call. Validates
+        the GPipe divisibility constraint up front with an actionable error.
+        """
+        from dlsc_tpu.parallel.pp import make_pp_apply_fn
+
+        if not hasattr(model, "scan_blocks"):
+            raise ValueError(
+                "trainer.pipeline_parallel supports the ViT (AST) model "
+                "family — the encoder block stack is what gets staged; "
+                f"{type(model).__name__} has no block stack")
+        S = self.pipeline_parallel
+        if model.depth % S:
+            raise ValueError(
+                f"model depth {model.depth} not divisible by "
+                f"pipeline_parallel={S}")
+        n_micro = self.pp_microbatches
+        bs = datamodule.batch_size
+        denom = self.plan.n_data * n_micro
+        if bs % denom:
+            raise ValueError(
+                f"batch_size={bs} must be divisible by data-parallel degree "
+                f"({self.plan.n_data}) × pp_microbatches ({n_micro}) = {denom}")
+        updates = {}
+        if not model.scan_blocks:
+            updates["scan_blocks"] = True  # PP needs depth-stacked params
+        if getattr(model, "token_sharding", None) is not None:
+            updates["token_sharding"] = None
+        if getattr(model, "expert_sharding", None) is not None:
+            updates["expert_sharding"] = None
+        if updates:
+            model = model.clone(**updates)
+        print(f"[pp] pipeline parallelism: {S} stages × "
+              f"{self.plan.n_data} data shards, {n_micro} microbatches "
+              f"(bubble {(S - 1) / (n_micro + S - 1):.0%})")
+        return model, make_pp_apply_fn(model, self.plan.mesh, n_micro)
 
     def _step_args(self, batch, *, train: bool):
         """Map a host batch onto the compiled step's tail arguments."""
@@ -437,6 +566,11 @@ class Trainer:
         pipeline = datamodule.pipeline
         num_classes = datamodule.num_classes
 
+        pp_apply_fn = None
+        if self.pipeline_parallel > 1:
+            model, pp_apply_fn = self._setup_pipeline_parallel(
+                model, datamodule)
+
         if self.expert_parallel > 1:
             if getattr(model, "moe", None) is None:
                 raise ValueError(
@@ -463,7 +597,8 @@ class Trainer:
         swa = _SWA(**swa_cfg, max_epochs=self.max_epochs) if swa_cfg else None
         log.info("initializing state (pipeline + model init compiles)…")
         state = self.init_state(model, datamodule, optim_spec, sched_spec,
-                                swa_lr_cfg=swa.lr_cfg if swa else None)
+                                swa_lr_cfg=swa.lr_cfg if swa else None,
+                                apply_fn=pp_apply_fn)
         log.info("state ready; compiling steps on first batch…")
         if pretrained_path:
             from dlsc_tpu.train.checkpoint import load_params

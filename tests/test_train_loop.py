@@ -509,3 +509,113 @@ def test_trainer_grad_accum_fit(dm_root):
     assert int(state.step) == 2 * dm.steps_per_epoch  # one update per batch
     results = trainer.test(dm, state=state, ckpt=None)
     assert 0.0 <= results["test/acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_full_fit_pipeline_parallel_matches_gspmd(dm_root, tmp_path):
+    """`+trainer.pipeline_parallel=S` is a product feature (VERDICT r2 #2):
+    Trainer.fit routed through the GPipe pipeline (parallel/pp.py) on the
+    8-device mesh must match the plain GSPMD data-parallel path metric for
+    metric (dropout=0 → identical math), checkpoint the stage-sharded params,
+    and restore them for test()."""
+    import jax as _jax
+
+    if _jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from dlsc_tpu.models.vit import ASTViT
+
+    def vit():
+        return ASTViT(num_classes=10, emb_dim=32, depth=4, num_heads=2,
+                      patch_size=16, patch_stride=16, overlap=0,
+                      dropout=0.0, dtype=jnp.float32, use_flash=False,
+                      scan_blocks=True)
+
+    def run(pp, ckdir):
+        dm = _dm(dm_root)
+        trainer = Trainer(max_epochs=2, enable_progress_bar=False,
+                          seed=0, devices="auto", pipeline_parallel=pp,
+                          checkpoint_dir=ckdir)
+        state = trainer.fit(vit(), dm, adam(lr=1e-3))
+        results = trainer.test(dm)  # restores best checkpoint
+        return trainer.history, results, state
+
+    hist_dp, res_dp, _ = run(1, tmp_path / "dp")
+    hist_pp, res_pp, state = run(2, tmp_path / "pp")
+    assert len(hist_dp) == len(hist_pp) == 2
+    for h1, h2 in zip(hist_dp, hist_pp):
+        assert h1["train/acc"] == h2["train/acc"]
+        np.testing.assert_allclose(h1["train/loss"], h2["train/loss"], rtol=1e-3)
+        np.testing.assert_allclose(h1["val/acc"], h2["val/acc"], atol=1e-9)
+        np.testing.assert_allclose(h1["val/loss"], h2["val/loss"], rtol=1e-3)
+    np.testing.assert_allclose(res_dp["test/acc"], res_pp["test/acc"], atol=1e-9)
+    np.testing.assert_allclose(res_dp["test/loss"], res_pp["test/loss"], rtol=1e-3)
+    # the stacked encoder blocks must actually live stage-sharded
+    blk = state.params["blocks"]["block"]
+    leaf = jax.tree_util.tree_leaves(blk)[0]
+    assert "stage" in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_pipeline_parallel_knob_validation(dm_root):
+    """Clear errors for the illegal PP configurations."""
+    with pytest.raises(ValueError, match="expert_parallel"):
+        Trainer(pipeline_parallel=2, expert_parallel=2)
+    with pytest.raises(ValueError, match="fsdp"):
+        Trainer(pipeline_parallel=2, fsdp=True)
+    # non-ViT model
+    trainer = Trainer(max_epochs=1, pipeline_parallel=2, devices="auto",
+                      enable_progress_bar=False, enable_checkpointing=False)
+    with pytest.raises(ValueError, match="ViT"):
+        trainer.fit(TinyModel(), _dm(dm_root), adam(lr=1e-3))
+    # batch divisibility: 8 devices / 2 stages → 4 data shards × 2 micro = 8
+    trainer = Trainer(max_epochs=1, pipeline_parallel=2, devices="auto",
+                      enable_progress_bar=False, enable_checkpointing=False)
+    with pytest.raises(ValueError, match="divisible"):
+        from dlsc_tpu.models.vit import ASTViT
+
+        model = ASTViT(num_classes=10, emb_dim=32, depth=4, num_heads=2,
+                       patch_size=16, patch_stride=16, overlap=0,
+                       dropout=0.0, dtype=jnp.float32, use_flash=False)
+        trainer.fit(model, _dm(dm_root, batch_size=12), adam(lr=1e-3))
+
+
+def test_device_pool_budget_from_live_hbm(dm_root, monkeypatch):
+    """device_data='auto' computes the pool budget from live HBM stats
+    (VERDICT r2 #6): the same pool fits a roomy 16G part and is refused on
+    a nearly-full 8G part — with the arithmetic logged, and the explicit
+    cap still honored."""
+    import dlsc_tpu.utils.profiling as prof
+
+    def stats_16g():
+        return {"dev0": {"bytes_limit": 16_000_000_000,
+                         "bytes_in_use": 2_000_000_000,
+                         "peak_bytes_in_use": 0}}
+
+    def stats_8g_full():
+        return {"dev0": {"bytes_limit": 8_000_000_000,
+                         "bytes_in_use": 7_000_000_000,
+                         "peak_bytes_in_use": 0}}
+
+    def run(stats_fn):
+        monkeypatch.setattr(prof, "device_memory_stats", stats_fn)
+        dm = _dm(dm_root)
+        trainer = Trainer(max_epochs=1, enable_progress_bar=False,
+                          enable_checkpointing=False, seed=0, devices=1,
+                          device_data="auto", limit_train_batches=1,
+                          limit_val_batches=1)
+        trainer.fit(TinyModel(), dm, adam(lr=1e-3))
+        return trainer
+
+    # 16G, 2G in use: budget = 14G − 7.2G reserve = 6.8G >> tiny pool → fits
+    t = run(stats_16g)
+    assert t._use_device_data is True
+    b, why = t._device_pool_budget()
+    assert b == 16_000_000_000 - 2_000_000_000 - int(0.45 * 16_000_000_000)
+    assert "live HBM" in why
+    # 8G with 7G in use: budget = 1G − 3.6G reserve → 0 → refuse any pool
+    t = run(stats_8g_full)
+    assert t._use_device_data is False
+    b, _ = t._device_pool_budget()
+    assert b == 0
+    # explicit cap bypasses the live computation entirely
+    trainer = Trainer(device_data_max_bytes=123)
+    assert trainer._device_pool_budget() == (123, "explicit cap")
