@@ -4,8 +4,8 @@ chip (or mesh) as a single jitted program.
 The reference runs Optuna trials strictly sequentially
 (reference: src/optimization/optuna_trainer.py:94-99); on TPU, trials of the
 *same architecture* that differ only in continuous hyperparameters
-(learning rate, weight decay, label smoothing) can share every forward/
-backward as a vmapped batch — one compilation, K× the arithmetic intensity,
+(learning rate, weight decay, label smoothing, dropout rate) can share every
+forward/backward as a vmapped batch — one compilation, K× the arithmetic intensity,
 no per-trial dispatch overhead. This is the BASELINE.json "vmapped
 multi-trial search across the TPU mesh" capability.
 
@@ -45,7 +45,20 @@ from dlsc_tpu.hpo.study import Study, Trial, TrialState
 from dlsc_tpu.train.metrics import MetricState, accuracy
 from dlsc_tpu.train.state import TrainState
 
-VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing")
+VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing",
+             "model.dropout")
+# what fans out across lockstep slots vs what needs sequential rounds:
+# - optimizer.lr / optimizer.weight_decay ride in the optimizer state
+#   (inject_hyperparams),
+# - loss.label_smoothing is a traced scalar in the loss closure,
+# - model.dropout rides in the TrainState's 'hyper' collection, read by
+#   HyperDropout at trace time (models/vit.py) — the Bernoulli threshold and
+#   1/keep rescale become per-trial traced values. Requires a model exposing
+#   `hyper_dropout` (the ViT family).
+# Anything that changes the *program* (optimizer family, scheduler shape,
+# architecture dims, attention impl) cannot fan out across slots — those
+# dimensions go through the sequential runner (hpo/runner.py), which shares
+# the same Study so TPE/Hyperband see all evidence.
 
 
 def _make_injected_tx(gradient_clip_val: float | None):
@@ -92,6 +105,8 @@ class VmappedTrialRunner:
         lr_space: dict | None = None,
         wd_space: dict | None = None,
         ls_space: dict | None = None,
+        do_space: dict | None = None,  # model.dropout search space — needs a
+                                       # model with the hyper_dropout hook
         gradient_clip_val: float | None = 1.0,
         min_epochs: int = 0,
         seed: int = 0,
@@ -102,6 +117,13 @@ class VmappedTrialRunner:
                     # exist, so scaling is embarrassingly parallel.
     ):
         self.study = study
+        if do_space is not None:
+            if not hasattr(model, "hyper_dropout"):
+                raise ValueError(
+                    "do_space (per-trial dropout) needs a model with the "
+                    f"hyper_dropout hook (the ViT family); "
+                    f"{type(model).__name__} has none")
+            model = model.clone(hyper_dropout=True)
         self.model = model
         self.pipeline = pipeline
         self.datamodule = datamodule
@@ -111,14 +133,16 @@ class VmappedTrialRunner:
         self.wd_space = wd_space or {"type": "float", "low": 1e-6, "high": 1e-2,
                                      "log": True}
         self.ls_space = ls_space  # None → label smoothing not searched
+        self.do_space = do_space  # None → dropout not searched
         self.gradient_clip_val = gradient_clip_val
         self.min_epochs = min_epochs
         self.seed = seed
         self.plan = plan
 
     # -- trial batch construction ------------------------------------------------
-    def _ask_batch(self, k: int) -> tuple[list[Trial], np.ndarray, np.ndarray, np.ndarray]:
-        trials, lrs, wds, lss = [], [], [], []
+    def _ask_batch(self, k: int) -> tuple[
+            list[Trial], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        trials, lrs, wds, lss, dos = [], [], [], [], []
         for _ in range(k):
             t = self.study.ask()
             lrs.append(t.suggest_float("optimizer.lr", self.lr_space["low"],
@@ -133,8 +157,15 @@ class VmappedTrialRunner:
                                            self.ls_space["high"]))
             else:
                 lss.append(0.0)
+            if self.do_space:
+                dos.append(t.suggest_float("model.dropout",
+                                           self.do_space["low"],
+                                           self.do_space["high"]))
+            else:
+                dos.append(0.0)
             trials.append(t)
-        return trials, np.asarray(lrs), np.asarray(wds), np.asarray(lss)
+        return (trials, np.asarray(lrs), np.asarray(wds), np.asarray(lss),
+                np.asarray(dos))
 
     # -- shared execution machinery ---------------------------------------------
     def _build_exec(self):
@@ -152,7 +183,7 @@ class VmappedTrialRunner:
         lab0 = jnp.asarray(sample["label"][:2])
         feats0, _ = jax.jit(pipe.train_batch)(wave0, lab0, jax.random.key(0))
 
-        def init_one(key, lr, wd):
+        def init_one(key, lr, wd, do):
             variables = self.model.init(
                 {"params": key, "dropout": jax.random.fold_in(key, 1)},
                 feats0, train=False,
@@ -162,6 +193,13 @@ class VmappedTrialRunner:
                 "learning_rate": jnp.asarray(lr, jnp.float32),
                 "weight_decay": jnp.asarray(wd, jnp.float32),
             })
+            # per-trial dropout: overwrite every HyperDropout 'rate' scalar
+            # (stacked (depth,) under scan_blocks) with this trial's value
+            hyper = None
+            if "hyper" in variables:
+                hyper = jax.tree_util.tree_map(
+                    lambda v: jnp.full(v.shape, do, v.dtype),
+                    variables["hyper"])
             return TrainState(
                 step=jnp.zeros((), jnp.int32),
                 params=variables["params"],
@@ -170,6 +208,7 @@ class VmappedTrialRunner:
                 rng=jax.random.fold_in(key, 2),
                 apply_fn=self.model.apply,
                 tx=tx,
+                hyper=hyper,
             )
 
         def train_step_one(state, ms, ls, wave, labels):
@@ -242,11 +281,12 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss = self._ask_batch(k)
+        trials, lrs, wds, lss, dos = self._ask_batch(k)
 
         keys = jax.random.split(jax.random.key(self.seed), k)
         states = fns["init_v"](
-            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32)
+            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32),
+            jnp.asarray(dos, jnp.float32)
         )
         ls_arr = jnp.asarray(lss, jnp.float32)
         v_train, v_eval, v_acc = fns["train"], fns["eval"], fns["acc"]
@@ -304,12 +344,13 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss = self._ask_batch(k)
+        trials, lrs, wds, lss, dos = self._ask_batch(k)
         asked = k
 
         keys = jax.random.split(jax.random.key(self.seed), k)
         states = fns["init_v"](
-            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32)
+            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32),
+            jnp.asarray(dos, jnp.float32)
         )
         ls_arr = jnp.asarray(lss, jnp.float32)
         slot_epoch = [0] * k
@@ -351,13 +392,14 @@ class VmappedTrialRunner:
                 finished.append(t)
                 if asked < total_trials:
                     # recycle the slot with a fresh suggestion
-                    new_trials, nlr, nwd, nls = self._ask_batch(1)
+                    new_trials, nlr, nwd, nls, ndo = self._ask_batch(1)
                     trials[i] = new_trials[0]
                     asked += 1
                     new_state = fns["init_one"](
                         jax.random.fold_in(jax.random.key(self.seed), 1000 + asked),
                         jnp.asarray(nlr[0], jnp.float32),
                         jnp.asarray(nwd[0], jnp.float32),
+                        jnp.asarray(ndo[0], jnp.float32),
                     )
                     states = self._scatter_slot(states, new_state, i)
                     ls_arr = ls_arr.at[i].set(float(nls[0]))

@@ -66,6 +66,8 @@ def ASTModel(
                                  # vmapped-HPO and multichip paths use it)
     quant: str | None = None,    # 'w8a8': int8 serving quantization
                                  # (inference-only; see models/vit.py)
+    mlp_slice: bool = False,     # LN2+MLP on round128(n_real) rows only
+                                 # (models/vit.py Block.mlp_slice)
 ) -> ASTViT:
     """AST over a deit ViT trunk. ``pretrained_model`` selects the trunk
     dims (reference: src/models/ast.py:19 builds the named timm model);
@@ -99,6 +101,7 @@ def ASTModel(
         attn_impl=attn_impl,
         scan_blocks=scan_blocks,
         quant=quant,
+        mlp_slice=mlp_slice,
     )
 
 

@@ -432,12 +432,50 @@ class _QDense(nn.Module):
             self.dtype)
 
 
+class HyperDropout(nn.Module):
+    """``nn.Dropout`` whose rate can be overridden at apply time through the
+    ``'hyper'`` variable collection.
+
+    With ``hyper=False`` (the default everywhere) this is exactly
+    ``nn.Dropout(rate)`` — same mask RNG, same inverted scaling, and a
+    zero-rate short-circuit so the compiled program is unchanged. With
+    ``hyper=True`` the module creates a ``'hyper'/'rate'`` f32 scalar at init
+    and *reads* it at apply, so K vmapped HPO trials can each train with a
+    different dropout rate inside one compiled program (hpo/vmapped.py —
+    the rate becomes a traced value: the Bernoulli threshold and the 1/keep
+    rescale are data-dependent, which vmap handles and a static module
+    attribute cannot).
+    """
+
+    rate: float
+    hyper: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.hyper:
+            rate = self.variable(
+                "hyper", "rate",
+                lambda: jnp.asarray(self.rate, jnp.float32)).value
+        else:
+            rate = self.rate
+            if rate == 0.0:
+                return x
+        if deterministic:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                         jnp.zeros((), x.dtype))
+
+
 class Mlp(nn.Module):
     dim: int
     ratio: float = 4.0
     dropout: float = 0.0
     dtype: Any = jnp.float32
     quant: str | None = None
+    hyper_dropout: bool = False  # dropout rate read from the 'hyper'
+                                 # collection (vmapped HPO, see HyperDropout)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -449,12 +487,12 @@ class Mlp(nn.Module):
                          name="fc1")(x)
         # exact (erf) GELU to match torch.nn.GELU default
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = HyperDropout(self.dropout, self.hyper_dropout)(x, not train)
         if self.quant:
             x = _QDense(self.dim, self.dtype, self.quant, name="fc2")(x)
         else:
             x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = HyperDropout(self.dropout, self.hyper_dropout)(x, not train)
         return x
 
 
@@ -480,6 +518,22 @@ class Block(nn.Module):
                                 # MLP with a top-k routed mixture of experts
     expert_sharding: Any = None # EP: NamedSharding for the MoE (B,E,C,D)
                                 # dispatch buffers (expert axis on the mesh)
+    hyper_dropout: bool = False # MLP dropout rate read from the 'hyper'
+                                # collection (vmapped HPO, see HyperDropout)
+    mlp_slice: bool = False     # run LN2+MLP on only the first
+                                # round128(n_real) token rows and zero-pad the
+                                # MLP output back (pad rows contribute nothing
+                                # to the residual). The attention path must
+                                # stay at the kernel-grain N (q/k/v feed the
+                                # shape-specialized kernel), but the MLP has
+                                # no cross-token coupling, so its FLOPs and
+                                # the gelu/dropout elementwise traffic shrink
+                                # by the pad fraction (1792 → 1664 rows ≈ 7%
+                                # at AST-Base). The slice fuses into LN2 and
+                                # the pad into the residual add, so there is
+                                # no extra materialization (vs per-block q/k/v
+                                # pads, which cost more than they save —
+                                # BASELINE.md ledger item 4).
 
     def _sp(self, x):
         if self.token_sharding is None:
@@ -494,7 +548,12 @@ class Block(nn.Module):
                                    self.dtype, self.use_flash, self.attn_impl,
                                    self.n_real, self.quant,
                                    name="attn")(y, train))
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        rows = x.shape[1]
+        if (self.mlp_slice and self.n_real is not None
+                and self.moe is None and self.token_sharding is None):
+            rows = min(x.shape[1], -(-self.n_real // 128) * 128)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
+            x[:, :rows] if rows < x.shape[1] else x)
         if self.moe is not None:
             from dlsc_tpu.models.moe import MoeMlp
 
@@ -503,7 +562,11 @@ class Block(nn.Module):
                              n_real=self.n_real, name="moe")(y, train)
         else:
             mlp_out = Mlp(self.dim, self.mlp_ratio, self.dropout,
-                          self.dtype, self.quant, name="mlp")(y, train)
+                          self.dtype, self.quant, self.hyper_dropout,
+                          name="mlp")(y, train)
+        if rows < x.shape[1]:
+            mlp_out = jnp.pad(
+                mlp_out, ((0, 0), (0, x.shape[1] - rows), (0, 0)))
         x = self._sp(x + mlp_out)
         return x
 
@@ -524,14 +587,16 @@ class _ScanBlock(nn.Module):
     quant: str | None = None
     moe: Any = None
     expert_sharding: Any = None
+    hyper_dropout: bool = False
+    mlp_slice: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
                   self.attn_impl, self.n_real, self.token_sharding, self.quant,
-                  self.moe, self.expert_sharding,
-                  name="block")(x, train)
+                  self.moe, self.expert_sharding, self.hyper_dropout,
+                  self.mlp_slice, name="block")(x, train)
         return x, None
 
 
@@ -592,6 +657,16 @@ class ASTViT(nn.Module):
                                # collected by the train step.
     expert_sharding: Any = None  # EP: NamedSharding for the MoE dispatch
                                  # buffers, e.g. P('data', 'model', None, None)
+    hyper_dropout: bool = False  # MLP dropout rate read from the 'hyper'
+                                 # variable collection instead of the static
+                                 # attribute — lets the vmapped HPO runner
+                                 # search dropout per trial (HyperDropout,
+                                 # hpo/vmapped.py)
+    mlp_slice: bool = False      # LN2+MLP on round128(n_real) rows only
+                                 # (see Block.mlp_slice); numerically
+                                 # identical on the real tokens — pad rows
+                                 # never reach the head (CLS) or attention
+                                 # (masked keys)
 
     @property
     def t_dim(self) -> int:
@@ -714,7 +789,8 @@ class ASTViT(nn.Module):
                 body = nn.remat(body, **remat_kw)
             scanned = nn.scan(
                 body,
-                variable_axes={"params": 0, "quant": 0, "intermediates": 0},
+                variable_axes={"params": 0, "quant": 0, "intermediates": 0,
+                               "hyper": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,  # `train` is loop-invariant
@@ -724,7 +800,9 @@ class ASTViT(nn.Module):
               use_flash=self.use_flash, attn_impl=self.attn_impl,
               n_real=n_real, token_sharding=self.token_sharding,
               quant=self.quant, moe=moe,
-              expert_sharding=self.expert_sharding, name="blocks")
+              expert_sharding=self.expert_sharding,
+              hyper_dropout=self.hyper_dropout, mlp_slice=self.mlp_slice,
+              name="blocks")
             x, _ = scanned(x, train)
         else:
             block_cls = nn.remat(Block, **remat_kw) if self.remat else Block
@@ -735,6 +813,8 @@ class ASTViT(nn.Module):
                     use_flash=self.use_flash, attn_impl=self.attn_impl,
                     n_real=n_real, token_sharding=self.token_sharding,
                     quant=self.quant, moe=moe,
-                    expert_sharding=self.expert_sharding, name=f"blocks_{i}",
+                    expert_sharding=self.expert_sharding,
+                    hyper_dropout=self.hyper_dropout,
+                    mlp_slice=self.mlp_slice, name=f"blocks_{i}",
                 )(x, train)
         return self.finalize(x)

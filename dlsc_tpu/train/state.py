@@ -23,9 +23,16 @@ class TrainState:
     rng: jax.Array
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    #: optional extra variable collection merged into every apply as 'hyper'
+    #: — per-state (and under vmap per-trial) hyperparameters read by the
+    #: model at trace time, e.g. HyperDropout rates (hpo/vmapped.py). None
+    #: for every ordinary model (a None pytree leaf is empty, so checkpoints
+    #: and shardings are unaffected).
+    hyper: Any = None
 
     @classmethod
-    def create(cls, *, apply_fn, params, batch_stats, tx, rng) -> "TrainState":
+    def create(cls, *, apply_fn, params, batch_stats, tx, rng,
+               hyper=None) -> "TrainState":
         import jax.numpy as jnp
 
         return cls(
@@ -36,6 +43,7 @@ class TrainState:
             rng=rng,
             apply_fn=apply_fn,
             tx=tx,
+            hyper=hyper,
         )
 
     def apply_gradients(self, grads) -> "TrainState":

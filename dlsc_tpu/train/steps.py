@@ -60,6 +60,8 @@ def make_train_step(
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 mutable.append("batch_stats")
+            if state.hyper is not None:
+                variables["hyper"] = state.hyper
             logits, mut = state.apply_fn(
                 variables, inputs, train=True,
                 rngs={"dropout": k_drop}, mutable=mutable,
@@ -107,6 +109,8 @@ def _make_train_step_accum(
             if bs is not None:
                 variables["batch_stats"] = bs
                 mutable.append("batch_stats")
+            if state.hyper is not None:
+                variables["hyper"] = state.hyper
             logits, mut = state.apply_fn(
                 variables, inputs, train=True,
                 rngs={"dropout": k_drop}, mutable=mutable,
@@ -183,6 +187,8 @@ def make_eval_step(pipeline: DevicePipeline, criterion: Callable) -> Callable:
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        if state.hyper is not None:
+            variables["hyper"] = state.hyper
 
         if inputs.ndim == 3 and pipeline.cfg.mode == "envnet_v2" and (
             pipeline.cfg.multi_crop_test

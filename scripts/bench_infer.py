@@ -134,7 +134,71 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
     return result
 
 
+def run_agreement(which: str, batch: int = 64, n_batches: int = 4) -> dict:
+    """int8-vs-bf16 accuracy delta on a synthetic eval set (VERDICT r2 #4).
+
+    Same params, same eval batches: the w8a8 path's softmax probabilities
+    and top-1 decisions are compared against the bf16 reference forward.
+    Reports top-1 agreement rate, mean/max |Δp| over the prob simplex, and
+    mean |Δ| of the top-1 probability — the serving-relevant deltas.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.data.pipeline import DevicePipeline, PipelineConfig
+    from dlsc_tpu.ops.quant import materialize
+    from dlsc_tpu.serving import make_infer
+
+    dtype = jnp.bfloat16
+    model_bf16, mode = build(which, dtype, {}, None)
+    model_int8, _ = build(which, dtype, {}, "w8a8")
+    pipe = DevicePipeline(PipelineConfig(
+        mode=mode, num_classes=50, window_length=5.0, padding_ratio=0.5))
+    rng = np.random.default_rng(0)
+    wave0 = jnp.asarray(
+        rng.standard_normal((1, CLIP)).astype(np.float32) * 0.3)
+    feats, _ = jax.jit(pipe.eval_batch)(wave0, jnp.zeros((1,), jnp.int32))
+    variables = jax.jit(model_bf16.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False)
+    qvars = jax.jit(lambda v, f: materialize(model_int8, v, f))(
+        variables, feats)
+    infer_bf16 = jax.jit(make_infer(model_bf16, pipe))
+    infer_int8 = jax.jit(make_infer(model_int8, pipe))
+
+    agree = n = 0
+    dps, dtop = [], []
+    for b in range(n_batches):
+        wave = jnp.asarray(
+            rng.standard_normal((batch, CLIP)).astype(np.float32) * 0.3)
+        p_ref = np.asarray(jax.device_get(infer_bf16(variables, wave)),
+                           np.float32)
+        p_q = np.asarray(jax.device_get(infer_int8(qvars, wave)), np.float32)
+        agree += int((p_ref.argmax(-1) == p_q.argmax(-1)).sum())
+        n += batch
+        dps.append(np.abs(p_ref - p_q))
+        dtop.append(np.abs(p_ref.max(-1) - p_q.max(-1)))
+    result = {
+        "variant": f"{which}_int8_agreement",
+        "clips": n,
+        "top1_agreement": round(agree / n, 4),
+        "mean_abs_dprob": round(float(np.mean(np.concatenate(dps))), 6),
+        "max_abs_dprob": round(float(np.max(np.concatenate(dps))), 5),
+        "mean_abs_dtop1prob": round(float(np.mean(np.concatenate(dtop))), 5),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def main(argv: list[str]) -> None:
+    if argv and argv[0] == "agree":
+        for which in argv[1:] or ["ast", "ast_small"]:
+            try:
+                run_agreement(which)
+            except Exception:
+                print(f"[agree {which}] FAILED", flush=True)
+                traceback.print_exc()
+        return
     names = argv or list(VARIANTS)
     for name in names:
         try:

@@ -57,7 +57,9 @@ def run_vmapped(cfg):
     """TPU-native mode: K lockstep trials per jitted program
     (dlsc_tpu.hpo.vmapped). Enable with optuna.vmapped.enabled=true;
     vmappable hyperparameters are optimizer.lr / optimizer.weight_decay /
-    loss.label_smoothing."""
+    loss.label_smoothing / model.dropout (see hpo/vmapped.py VMAPPABLE).
+    Override the search ranges with e.g.
+    ``'+optuna.vmapped.spaces={model.dropout: {low: 0.0, high: 0.5}}'``."""
     from dlsc_tpu.hpo import StudyManager
     from dlsc_tpu.hpo.vmapped import VmappedTrialRunner
     from dlsc_tpu.train import build_from_cfg
@@ -84,9 +86,14 @@ def run_vmapped(cfg):
         if jax.device_count() > 1:
             plan = make_plan()
 
+    sp = vm.get("spaces", {})
     runner = VmappedTrialRunner(
         study, built["model"], datamodule.pipeline, datamodule,
         epochs=int(cfg.select("trainer.max_epochs", default=10)),
+        lr_space=sp.get("optimizer.lr"),
+        wd_space=sp.get("optimizer.weight_decay"),
+        ls_space=sp.get("loss.label_smoothing"),
+        do_space=sp.get("model.dropout"),
         gradient_clip_val=cfg.select("trainer.gradient_clip_val", default=1.0),
         min_epochs=int(optuna_cfg.get("min_epochs", 0)),
         seed=int(cfg.select("seed", default=42)),
