@@ -143,7 +143,9 @@ class _PackedQKV(nn.Module):
         q = jnp.einsum("bnd,dhk->bhnk", x, w[:, 0]) + b[0][None, :, None, :]
         k = jnp.einsum("bnd,dhk->bhnk", x, w[:, 1]) + b[1][None, :, None, :]
         v = jnp.einsum("bnd,dhk->bhnk", x, w[:, 2]) + b[2][None, :, None, :]
-        return q, k, v
+        # named for the 'attn_res_qkv' remat policy (remat_kwargs)
+        name = jax.ad_checkpoint.checkpoint_name
+        return name(q, "qkv"), name(k, "qkv"), name(v, "qkv")
 
 
 class _HeadMergeProj(nn.Module):
@@ -194,6 +196,17 @@ def remat_kwargs(remat_policy: str) -> dict:
       backward then reuses them instead of re-running the kernel forward —
       the decisive remat policy for this model (the kernel refwd is
       ~200 ms/step at B=64; everything else recomputes cheap).
+    - 'attn_res_qkv': attn_res + the q/k/v kernel inputs (3·B·N·D per block
+      ≈ 6.3 GB @ AST-Base b64): the remat'd backward skips the three qkv
+      einsums (the kernel bwd consumes q/k/v directly). Memory ↔ FLOPs —
+      only viable when HBM has the headroom (no device-resident pool).
+    - 'attn_res_fc1': attn_res + the fc1 preactivation (B·N·4D per block
+      ≈ 8.4 GB @ AST-Base b64): the backward skips the fc1 matmul recompute
+      (gelu bwd reads the preact; the dropped hidden recomputes elementwise).
+
+    The wide matmul *outputs* (proj, fc2) never need saving: they feed only
+    residual adds, whose backward is identity, so the remat refwd already
+    DCEs those matmuls under every policy.
     """
     remat_kw: dict = {"static_argnums": (2,)}
     if remat_policy == "dots":
@@ -204,6 +217,12 @@ def remat_kwargs(remat_policy: str) -> dict:
     elif remat_policy == "attn_res":
         remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
             "attn_res")
+    elif remat_policy == "attn_res_qkv":
+        remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "qkv")
+    elif remat_policy == "attn_res_fc1":
+        remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "mlp_fc1")
     elif remat_policy != "full":
         raise ValueError(f"unknown remat_policy {remat_policy!r}")
     return remat_kw
@@ -485,6 +504,8 @@ class Mlp(nn.Module):
         else:
             x = nn.Dense(int(self.dim * self.ratio), dtype=self.dtype,
                          name="fc1")(x)
+        # named for the 'attn_res_fc1' remat policy (remat_kwargs)
+        x = jax.ad_checkpoint.checkpoint_name(x, "mlp_fc1")
         # exact (erf) GELU to match torch.nn.GELU default
         x = nn.gelu(x, approximate=False)
         x = HyperDropout(self.dropout, self.hyper_dropout)(x, not train)

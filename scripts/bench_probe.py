@@ -93,6 +93,11 @@ VARIANTS = {
     "default_b64": (64, dict()),
     # VERDICT r2 #5: LN2+MLP on 1664 of 1792 rows (pad-row slack)
     "mlp_slice_b64": (64, dict(mlp_slice=True)),
+    # VERDICT r2 #5: memory↔FLOPs — skip the qkv-einsum / fc1-matmul refwd
+    # by saving those tensors (6.3 / 8.4 GB extra @ b64; no pool in probes)
+    "attn_res_qkv_b64": (64, dict(remat_policy="attn_res_qkv")),
+    "attn_res_fc1_b64": (64, dict(remat_policy="attn_res_fc1")),
+    "slice_qkv_b64": (64, dict(mlp_slice=True, remat_policy="attn_res_qkv")),
     # dropout-mask RNG impl: threefry (default) vs TPU hardware RNG
     "default_rbg_b64": (64, dict(), {"DLSC_RNG_IMPL": "rbg"}),
     "default_urbg_b64": (64, dict(), {"DLSC_RNG_IMPL": "unsafe_rbg"}),

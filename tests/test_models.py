@@ -244,3 +244,34 @@ def test_mlp_slice_matches_dense_on_real_rows(key):
     # pad rows got no MLP contribution (zero-padded back)
     assert not np.allclose(np.asarray(out_s[:, rows:]),
                            np.asarray(out[:, rows:]))
+
+
+def test_remat_policy_variants_match_gradients(key):
+    """The named-save remat policies (attn_res_qkv / attn_res_fc1) change
+    only what is rematerialized, never the math: gradients must match the
+    'full' policy exactly."""
+    from dlsc_tpu.models.vit import ASTViT
+
+    kw = dict(num_classes=10, emb_dim=32, depth=2, num_heads=2,
+              patch_size=16, patch_stride=16, overlap=0, dropout=0.0,
+              dtype=jnp.float32, use_flash=False, scan_blocks=True,
+              remat=True)
+    x = jax.random.normal(key, (2, 128, 128)) * 0.3
+    base = ASTViT(remat_policy="full", **kw)
+    variables = base.init(key, x, train=False)
+
+    def grads(model):
+        def loss(p):
+            out = model.apply({"params": p}, x, train=True,
+                              rngs={"dropout": jax.random.key(3)})
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_full = grads(base)
+    for pol in ("attn_res_qkv", "attn_res_fc1"):
+        g = grads(ASTViT(remat_policy=pol, **kw))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            g_full, g)
