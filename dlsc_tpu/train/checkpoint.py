@@ -32,6 +32,8 @@ class CheckpointManager:
         mode: str = "max",
         save_top_k: int = 1,
         filename: str | None = None,
+        save_last: bool = False,
+        resume: bool = False,
     ):
         self.dirpath = Path(dirpath).absolute()
         self.dirpath.mkdir(parents=True, exist_ok=True)
@@ -43,8 +45,25 @@ class CheckpointManager:
         # (configs/base_training.yaml:114). None → same pattern derived
         # from the monitored metric.
         self.filename = filename
+        # Lightning ModelCheckpoint(save_last=True): additionally overwrite a
+        # 'last' checkpoint every validated epoch — the crash-resume anchor
+        # (trainer.auto_resume / +ckpt_path=.../last)
+        self.save_last = save_last
         self._saved: list[tuple[float, Path]] = []
         self._ckpt = ocp.StandardCheckpointer()
+        if resume:
+            # continue the best-k ledger across a resumed run: re-read every
+            # on-disk checkpoint's ckpt_meta.json (excluding 'last')
+            for meta in sorted(self.dirpath.glob("*/ckpt_meta.json")):
+                if meta.parent.name == "last":
+                    continue
+                try:
+                    v = json.loads(meta.read_text()).get(self.monitor)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if v is not None:
+                    self._saved.append((float(v), meta.parent))
+            self._saved.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
 
     def _format_name(self, epoch: int, metrics: dict, value: float) -> str:
         if not self.filename:
@@ -112,6 +131,22 @@ class CheckpointManager:
             shutil.rmtree(worst, ignore_errors=True)
         return path
 
+    def save_last_ckpt(self, state, epoch: int, metrics: dict) -> Path:
+        """Overwrite the ``last`` checkpoint (Lightning ``save_last``
+        semantics): always the newest state regardless of the monitored
+        metric — what ``trainer.auto_resume`` restores after a crash."""
+        path = self.dirpath / "last"
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path, self._state_to_pytree(state, to_host=True))
+        self._ckpt.wait_until_finished()
+        value = metrics.get(self.monitor)
+        meta = {"epoch": epoch}
+        if value is not None:
+            meta[self.monitor] = float(value)
+        (path / "ckpt_meta.json").write_text(json.dumps(meta))
+        return path
+
     @property
     def best_path(self) -> Path | None:
         return self._saved[0][1] if self._saved else None
@@ -143,6 +178,23 @@ def restore_state(path: str | Path, state):
     """Module-level resume helper (``+ckpt_path=...`` flow)."""
     mgr = CheckpointManager(Path(path).parent if Path(path).name else path)
     return mgr.restore(path, state)
+
+
+def latest_checkpoint(dirpath: str | Path) -> Path | None:
+    """Newest checkpoint under ``dirpath`` by saved epoch (``ckpt_meta.json``)
+    — the ``trainer.auto_resume`` discovery. A ``last`` checkpoint
+    (``save_last``) at the same epoch wins ties, so crash-resume prefers the
+    true latest state over the same-epoch best-k snapshot."""
+    best, best_key = None, (-1, 0)
+    for meta in Path(dirpath).glob("*/ckpt_meta.json"):
+        try:
+            epoch = int(json.loads(meta.read_text()).get("epoch", -1))
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            continue
+        key = (epoch, 1 if meta.parent.name == "last" else 0)
+        if key > best_key:
+            best_key, best = key, meta.parent
+    return best
 
 
 def save_params(path: str | Path, params, meta: dict | None = None) -> Path:

@@ -148,6 +148,14 @@ class Trainer:
         enable_progress_bar: bool = True,
         enable_checkpointing: bool = True,
         checkpoint_dir: str | Path = "checkpoints",
+        auto_resume: bool = False,  # crash resume (§5.3): discover the newest
+                             # checkpoint in checkpoint_dir (by saved epoch;
+                             # a save_last 'last' dir wins ties) and continue
+                             # from it — epochs, optimizer moments, RNG and
+                             # the best-k ledger all resume. No-op on a fresh
+                             # dir. `+trainer.auto_resume=true`; combine with
+                             # `checkpoint.save_last=true` to lose at most
+                             # one epoch.
         debug_nans: bool = False,
         devices: int | str = "auto",
         accelerator: str = "auto",
@@ -201,6 +209,7 @@ class Trainer:
         self.enable_progress_bar = enable_progress_bar
         self.enable_checkpointing = enable_checkpointing
         self.checkpoint_dir = Path(checkpoint_dir)
+        self.auto_resume = bool(auto_resume)
         self.seed = seed
         if debug_nans:
             jax.config.update("jax_debug_nans", True)  # sanitizer toggle (§5.2)
@@ -605,21 +614,32 @@ class Trainer:
 
             state = state.replace(params=load_params(pretrained_path, state.params))
             print(f"Warm start: params loaded from {pretrained_path}")
+        ckpt_cfg = dict(checkpoint_cfg or {})
+        dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)
+        resumed = False
+        if self.auto_resume and not ckpt_path:
+            from dlsc_tpu.train.checkpoint import latest_checkpoint
+
+            found = latest_checkpoint(dirpath)
+            if found is not None:
+                ckpt_path = found
+                print(f"[auto-resume] newest checkpoint: {found}")
         if ckpt_path:
             from dlsc_tpu.train.checkpoint import restore_state
 
             state = restore_state(ckpt_path, state)
+            resumed = True
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
         self._setup_device_data(datamodule)
         self._compile_steps(pipeline, criterion, state)
         self._preflight_train_step(state, datamodule, pipeline, criterion)
 
-        ckpt_cfg = dict(checkpoint_cfg or {})
-        dirpath = ckpt_cfg.pop("dirpath", self.checkpoint_dir)
         self.ckpt_manager = (
-            CheckpointManager(dirpath, **{k: ckpt_cfg[k] for k in
-                                          ("monitor", "mode", "save_top_k", "filename")
-                                          if k in ckpt_cfg})
+            CheckpointManager(dirpath, resume=resumed,
+                              **{k: ckpt_cfg[k] for k in
+                                 ("monitor", "mode", "save_top_k",
+                                  "filename", "save_last")
+                                 if k in ckpt_cfg})
             if self.enable_checkpointing else None
         )
         stopper = EarlyStopping(**early_stop_cfg) if early_stop_cfg else None
@@ -694,6 +714,8 @@ class Trainer:
 
             if self.ckpt_manager and "val/acc" in metrics:
                 self.ckpt_manager.save(state, epoch, metrics)
+                if self.ckpt_manager.save_last:
+                    self.ckpt_manager.save_last_ckpt(state, epoch, metrics)
             for cb in callbacks:
                 hook = getattr(cb, "on_validation_epoch_end", None)
                 if hook:

@@ -619,3 +619,40 @@ def test_device_pool_budget_from_live_hbm(dm_root, monkeypatch):
     # explicit cap bypasses the live computation entirely
     trainer = Trainer(device_data_max_bytes=123)
     assert trainer._device_pool_budget() == (123, "explicit cap")
+
+
+def test_auto_resume_continues_from_latest(dm_root, tmp_path):
+    """trainer.auto_resume (§5.3 crash resume): a restarted Trainer discovers
+    the newest checkpoint (save_last wins epoch ties), resumes the epoch
+    counter/step/optimizer, continues the best-k ledger, and is a no-op on a
+    fresh directory."""
+    from dlsc_tpu.train.checkpoint import latest_checkpoint
+
+    ckdir = tmp_path / "ck"
+    ck_cfg = {"save_top_k": -1, "save_last": True}
+    dm = _dm(dm_root)
+    t1 = Trainer(max_epochs=2, enable_progress_bar=False, seed=0, devices=1,
+                 checkpoint_dir=ckdir)
+    s1 = t1.fit(TinyModel(), dm, adam(lr=1e-3), checkpoint_cfg=ck_cfg)
+    steps = dm.steps_per_epoch
+    assert int(s1.step) == 2 * steps
+    assert (ckdir / "last").exists()
+    assert latest_checkpoint(ckdir) == ckdir / "last"  # tie → 'last' wins
+
+    # crash-restart: same config, fresh process-equivalent Trainer
+    t2 = Trainer(max_epochs=4, enable_progress_bar=False, seed=0, devices=1,
+                 checkpoint_dir=ckdir, auto_resume=True)
+    s2 = t2.fit(TinyModel(), dm, adam(lr=1e-3), checkpoint_cfg=ck_cfg)
+    assert int(s2.step) == 4 * steps
+    assert [h["epoch"] for h in t2.history] == [2, 3]  # only the new epochs
+    # best-k ledger spans both runs (save_top_k=-1 → 4 epoch dirs + last)
+    epoch_dirs = [p for p in ckdir.iterdir()
+                  if p.is_dir() and p.name != "last"]
+    assert len(epoch_dirs) == 4
+    assert t2.ckpt_manager.best_path is not None
+
+    # fresh dir: auto_resume is a no-op
+    t3 = Trainer(max_epochs=1, enable_progress_bar=False, seed=0, devices=1,
+                 checkpoint_dir=tmp_path / "empty", auto_resume=True)
+    t3.fit(TinyModel(), dm, adam(lr=1e-3), checkpoint_cfg=ck_cfg)
+    assert [h["epoch"] for h in t3.history] == [0]
