@@ -33,6 +33,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,6 +196,13 @@ class MoeMlp(nn.Module):
         xg = x.reshape(B * G, S, D).astype(self.dtype)
         wk = (topv.astype(self.dtype).reshape(B, G, S, K) * keep)  # combine w
 
+        # observability: capacity-dropped assignment fraction + dispatched
+        # per-expert load (collect_moe_stats → train metrics moe/*)
+        keep32 = keep.astype(jnp.float32)
+        self._sow_stats(
+            1.0 - jnp.sum(keep32) / (K * nv),
+            jnp.sum(a4 * keep32[..., None], axis=(0, 1, 2, 3)))
+
         # --- dispatch → expert FFN → combine --------------------------------
         if self.spec.dispatch == "einsum":
             # GShard one-hot matmul dispatch: zero scatters, all MXU. The
@@ -239,6 +247,17 @@ class MoeMlp(nn.Module):
         )
         return y
 
+    def _sow_stats(self, drop_frac, load):
+        """Observability (train metrics ``moe/drop_frac`` / ``moe/util``,
+        collected by :func:`collect_moe_stats`): the fraction of routing
+        assignments lost (to capacity for token-choice; untaken tokens for
+        expert-choice) and the normalized entropy of the per-expert
+        dispatched load (1.0 = perfectly balanced routing)."""
+        p = load / jnp.maximum(jnp.sum(load), 1e-9)
+        util = -jnp.sum(p * jnp.log(p + 1e-9)) / float(np.log(load.shape[0]))
+        self.sow("intermediates", "moe_stats",
+                 jnp.stack([drop_frac, util]).astype(jnp.float32))
+
     def _expert_choice(self, x, gates, valid, B, N, D, E, F, S, G, C, train):
         """Expert-choice routing: per group, each expert gathers its top-C
         tokens by gate score (dispatch is a pure gather; combine is a one-hot
@@ -266,6 +285,16 @@ class MoeMlp(nn.Module):
             "bgecs,bgecd->bgsd", oh * wv[..., None],
             out.reshape(B, G, E, C, D),
         ).reshape(B, N, D)
+        # observability: 'dropped' here = real tokens taken by NO expert
+        # (they ride the residual); load is per-expert taken-slot count
+        oh32 = oh.astype(jnp.float32)
+        taken = jnp.sum(oh32, axis=(2, 3))                   # (B, G, S)
+        real = (vmask[None] if vmask is not None
+                else jnp.ones((1, G, S), jnp.float32))
+        nv = B * (jnp.sum(vmask) if vmask is not None else float(G * S))
+        self._sow_stats(
+            jnp.sum((taken <= 0) * real) / nv,
+            jnp.sum(oh32, axis=(0, 1, 3, 4)))
         return y
 
     def _ffn(self, buf, E: int, F: int, D: int, train: bool):
@@ -299,6 +328,32 @@ def _group_size(n: int, cap: int) -> int:
         if n % s == 0:
             return s
     return 1
+
+
+#: train-metric names produced by collect_moe_stats — pass to
+#: MetricState.create(extras=MOE_METRICS) to stream them per epoch
+MOE_METRICS = ("moe/drop_frac", "moe/util")
+
+
+def collect_moe_stats(intermediates: Any) -> dict:
+    """Mean over blocks of the sown ``moe_stats`` pairs → ``{"moe/drop_frac",
+    "moe/util"}``. Empty dict when nothing was sown (dense models, or the
+    pipeline-parallel path where intermediates cannot cross the shard_map).
+    Emptiness is static at trace time, so callers can gate on it freely."""
+    if not intermediates:
+        return {}
+    from dlsc_tpu.parallel.mesh import path_keys
+
+    vals = [
+        leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]
+        if any(k == "moe_stats" for k in path_keys(path))
+    ]
+    if not vals:
+        return {}
+    flat = jnp.concatenate([v.reshape(-1, 2) for v in vals], axis=0)
+    m = jnp.mean(flat, axis=0)
+    return {"moe/drop_frac": m[0], "moe/util": m[1]}
 
 
 def collect_moe_aux(intermediates: Any) -> jnp.ndarray | float:

@@ -514,7 +514,8 @@ class Trainer:
         if not self._use_device_data:
             return
         bs = datamodule.batch_size
-        ms = MT.MetricState.create(datamodule.num_classes)
+        ms = MT.MetricState.create(datamodule.num_classes,
+                                   extras=getattr(self, "_train_extras", ()))
         labels = np.zeros((bs,), np.int32)
         # the host-streamed probe must match the real wire signature: shards
         # stream in their storage dtype (int16 by default — pipeline.py:86)
@@ -630,6 +631,16 @@ class Trainer:
             state = restore_state(ckpt_path, state)
             resumed = True
             print(f"Resumed from {ckpt_path} at step {int(state.step)}")
+        # MoE observability: stream drop-fraction / load-balance scalars
+        # through the train MetricState (the PP path cannot surface them —
+        # intermediates do not cross the pipeline shard_map). Decided before
+        # the preflight so its AOT compile matches the real step signature.
+        self._train_extras: tuple = ()
+        if (getattr(model, "moe", None) is not None
+                and self.pipeline_parallel == 1):
+            from dlsc_tpu.models.moe import MOE_METRICS
+
+            self._train_extras = MOE_METRICS
         self._setup_device_data(datamodule)
         self._compile_steps(pipeline, criterion, state)
         self._preflight_train_step(state, datamodule, pipeline, criterion)
@@ -650,7 +661,7 @@ class Trainer:
 
         for epoch in range(epoch0, self.max_epochs):
             # ---- train ----
-            ms = MT.MetricState.create(num_classes)
+            ms = MT.MetricState.create(num_classes, extras=self._train_extras)
             t0 = time.time()
             n_clips = 0
             it = (datamodule.train_index_batches(epoch=epoch, seed=self.seed)
@@ -690,6 +701,8 @@ class Trainer:
                 "lr": float(self._lr_fn(int(state.step))),
                 "perf/clips_per_sec_per_chip": n_clips / dt / max(self.plan.n_data, 1),
             }
+            metrics.update(
+                {k: float(v) for k, v in ms.extra_means().items()})
 
             # ---- validate ----
             if (epoch + 1) % self.check_val_every_n_epoch == 0:

@@ -29,15 +29,42 @@ class MetricState:
     loss_sum: jax.Array    # f32
     count: jax.Array       # i32 (samples)
     batches: jax.Array     # i32
+    #: optional streaming per-batch-mean sums of auxiliary scalars (e.g. MoE
+    #: drop fraction / expert utilization): {name: f32 sum over batches}.
+    #: None for ordinary runs — the pytree structure must be fixed at
+    #: creation (a mid-run None→dict change would retrace the step), so
+    #: callers that want extras pass their names to ``create``.
+    extra_sums: Any = None
 
     @classmethod
-    def create(cls, num_classes: int) -> "MetricState":
+    def create(cls, num_classes: int,
+               extras: tuple[str, ...] = ()) -> "MetricState":
         return cls(
             confmat=jnp.zeros((num_classes, num_classes), jnp.int32),
             loss_sum=jnp.zeros((), jnp.float32),
             count=jnp.zeros((), jnp.int32),
             batches=jnp.zeros((), jnp.int32),
+            extra_sums=(
+                {k: jnp.zeros((), jnp.float32) for k in extras}
+                if extras else None),
         )
+
+    def add_extras(self, values: dict) -> "MetricState":
+        """Accumulate auxiliary per-batch scalars (no-op unless this state
+        was created with matching ``extras`` names)."""
+        if self.extra_sums is None or not values:
+            return self
+        sums = {k: self.extra_sums[k] + values[k]
+                for k in self.extra_sums if k in values}
+        missing = {k: v for k, v in self.extra_sums.items() if k not in values}
+        return self.replace(extra_sums={**sums, **missing})
+
+    def extra_means(self) -> dict:
+        """Per-batch means of the accumulated auxiliary scalars."""
+        if self.extra_sums is None:
+            return {}
+        b = jnp.maximum(self.batches, 1)
+        return {k: v / b for k, v in self.extra_sums.items()}
 
     def update(
         self,
@@ -56,7 +83,7 @@ class MetricState:
         # loss is the per-batch mean over valid samples; weight it by the
         # valid count so mean_loss is sample-exact even with a ragged final
         # batch (not mean-of-batch-means).
-        return MetricState(
+        return self.replace(
             confmat=self.confmat + upd.reshape(C, C),
             loss_sum=self.loss_sum + loss * n_valid,
             count=self.count + n_valid,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from dlsc_tpu.data.pipeline import DevicePipeline
-from dlsc_tpu.models.moe import collect_moe_aux
+from dlsc_tpu.models.moe import collect_moe_aux, collect_moe_stats
 from dlsc_tpu.train.metrics import MetricState
 from dlsc_tpu.train.state import TrainState
 
@@ -68,17 +68,19 @@ def make_train_step(
             )
             loss = criterion(logits, y) + collect_moe_aux(
                 mut.get("intermediates"))
-            return loss, (logits, mut.get("batch_stats"))
+            # MoE observability scalars (drop fraction / load balance) —
+            # streamed into the MetricState when it was created with extras
+            stats = collect_moe_stats(mut.get("intermediates"))
+            return loss, (logits, mut.get("batch_stats"), stats)
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, new_bs, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(
             rng=rng,
             batch_stats=new_bs if new_bs is not None else state.batch_stats,
         )
         hard = jnp.argmax(y, axis=-1)
-        ms = ms.update(logits, hard, loss)
+        ms = ms.update(logits, hard, loss).add_extras(stats)
         return new_state, ms, loss
 
     return train_step
@@ -117,7 +119,8 @@ def _make_train_step_accum(
             )
             loss = criterion(logits, y) + collect_moe_aux(
                 mut.get("intermediates"))
-            return loss, (logits, y, mut.get("batch_stats"))
+            stats = collect_moe_stats(mut.get("intermediates"))
+            return loss, (logits, y, mut.get("batch_stats"), stats)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -126,10 +129,10 @@ def _make_train_step_accum(
             w, l, i = xs
             k = jax.random.fold_in(k_base, i)
             k_pipe, k_drop = jax.random.split(k)
-            (loss, (logits, y, nbs)), g = grad_fn(
+            (loss, (logits, y, nbs, stats)), g = grad_fn(
                 state.params, bs, w, l, k_pipe, k_drop)
             g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-            ms = ms.update(logits, jnp.argmax(y, axis=-1), loss)
+            ms = ms.update(logits, jnp.argmax(y, axis=-1), loss).add_extras(stats)
             return (g_acc, nbs if nbs is not None else bs, ms,
                     loss_acc + loss), None
 

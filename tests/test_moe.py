@@ -716,3 +716,66 @@ def test_trainer_fsdp_expert_parallel_fit(tmp_path):
     ]
     assert moments and all("model" in str(s) for s in moments), moments
     assert np.isfinite(trainer.logged_metrics["train/loss"])
+
+
+def test_moe_stats_sown_and_collected():
+    """MoE observability: MoeMlp sows a 'moe_stats' (drop_frac, util) pair;
+    collect_moe_stats averages them. Ample capacity → drop_frac 0; a
+    starved capacity → drop_frac > 0; util in (0, 1]."""
+    from dlsc_tpu.models.moe import collect_moe_stats
+
+    x = _tokens(B=2, N=16, D=32)
+
+    def stats_for(spec):
+        m = MoeMlp(32, spec)
+        v = m.init(jax.random.key(0), x, train=False)
+        _, mut = m.apply(v, x, train=False, mutable=["intermediates"])
+        s = collect_moe_stats(mut["intermediates"])
+        assert set(s) == {"moe/drop_frac", "moe/util"}
+        return {k: float(v_) for k, v_ in s.items()}
+
+    ample = stats_for(MoeSpec(n_experts=4, top_k=2, capacity_factor=4.0))
+    assert ample["moe/drop_frac"] == pytest.approx(0.0, abs=1e-6)
+    assert 0.0 < ample["moe/util"] <= 1.0 + 1e-6
+
+    starved = stats_for(MoeSpec(n_experts=4, top_k=1, capacity_factor=4 / 16))
+    assert starved["moe/drop_frac"] > 0.1
+
+    # expert-choice: 'dropped' = untaken tokens; load is balanced by
+    # construction → util ≈ 1
+    ec = stats_for(MoeSpec(n_experts=4, top_k=2, capacity_factor=0.5,
+                           router="expert"))
+    assert ec["moe/drop_frac"] >= 0.0
+    assert ec["moe/util"] == pytest.approx(1.0, abs=1e-3)
+
+    # dense / empty intermediates → statically empty
+    assert collect_moe_stats({}) == {}
+    assert collect_moe_stats(None) == {}
+
+
+def test_trainer_logs_moe_metrics(tmp_path):
+    """Trainer surfaces moe/drop_frac + moe/util as train metrics for MoE
+    models (streamed through MetricState extras)."""
+    from dlsc_tpu.data import ESC50DataModule
+    from dlsc_tpu.data.synthetic import make_synthetic_dataset
+    from dlsc_tpu.train import Trainer
+    from dlsc_tpu.train.optim import adam
+
+    root = tmp_path / "synth"
+    make_synthetic_dataset(root, num_classes=10, clips_per_class_per_fold=2,
+                           clip_samples=8000)
+    dm = ESC50DataModule(root=str(root), num_classes=10, fold=0,
+                         val_split=0.2, batch_size=8,
+                         preprocessing_mode="ast", is_spectrogram=True,
+                         preprocessing_config={"n_mels": 128})
+    model = ASTViT(num_classes=10, emb_dim=32, depth=2, num_heads=2,
+                   patch_size=16, patch_stride=16, overlap=0, dropout=0.0,
+                   dtype=jnp.float32, use_flash=False, scan_blocks=True,
+                   moe={"n_experts": 2, "top_k": 1, "capacity_factor": 1.0})
+    trainer = Trainer(max_epochs=1, enable_progress_bar=False, seed=0,
+                      devices=1, enable_checkpointing=False,
+                      limit_train_batches=2, limit_val_batches=1)
+    trainer.fit(model, dm, adam(lr=1e-3))
+    m = trainer.logged_metrics
+    assert 0.0 <= m["moe/drop_frac"] <= 1.0
+    assert 0.0 < m["moe/util"] <= 1.0 + 1e-6
