@@ -51,7 +51,15 @@ class MoeSpec:
                                   # 'expert': expert-choice (Zhou 2022 — each
                                   # expert picks its top-C tokens; perfectly
                                   # balanced by construction, no balance loss,
-                                  # variable experts-per-token)
+                                  # variable experts-per-token). Expert-choice
+                                  # measures ~9% faster at the full train step
+                                  # (130.0 vs 119.5 clips/s, BASELINE.md
+                                  # round 3) but token-choice stays the
+                                  # default: EC expert assignment depends on
+                                  # the co-batched tokens, so inference
+                                  # results vary with batch composition —
+                                  # set router='expert' where that is
+                                  # acceptable.
     dispatch: str = "einsum"      # dispatch lowering: 'einsum' (GShard
                                   # one-hot matmuls — zero scatters, all MXU,
                                   # O(S·E·C) one-hot operands per group) or
