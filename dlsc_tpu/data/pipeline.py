@@ -110,9 +110,17 @@ class DevicePipeline:
 
     # -- train path ----------------------------------------------------------
     def train_batch(
-        self, wave: jax.Array, labels: jax.Array, key: jax.Array
+        self, wave: jax.Array, labels: jax.Array, key: jax.Array,
+        *, mixup_alpha: jax.Array | float | None = None,
     ) -> tuple[jax.Array, jax.Array]:
+        """``mixup_alpha`` overrides ``cfg.mixup_alpha`` for this call; it may
+        be a traced scalar (vmapped per-trial HPO, hpo/vmapped.py) and then
+        must be > 0. Only meaningful when ``cfg.enable_mixup``."""
         cfg = self.cfg
+        if mixup_alpha is not None and not cfg.enable_mixup:
+            raise ValueError(
+                "mixup_alpha override given but enable_mixup=False on this "
+                "pipeline — enable dataset.enable_mixup to search mixup_alpha")
         wave = self._to_float(wave)
         y = A.one_hot(labels, cfg.num_classes)
         if cfg.mode == "envnet_v2":
@@ -132,7 +140,8 @@ class DevicePipeline:
             x = self._ast_features(wave)
             x = A.spec_augment(x, k_sa, cfg.time_mask, cfg.freq_mask)
             if cfg.enable_mixup:
-                x, y = A.mixup(x, y, k_mix, cfg.mixup_alpha)
+                alpha = cfg.mixup_alpha if mixup_alpha is None else mixup_alpha
+                x, y = A.mixup(x, y, k_mix, alpha)
             return x, y
         if cfg.mode == "cnn_esc50":
             x = self._cnn_features(wave)

@@ -46,7 +46,7 @@ from dlsc_tpu.train.metrics import MetricState, accuracy
 from dlsc_tpu.train.state import TrainState
 
 VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing",
-             "model.dropout")
+             "model.dropout", "dataset.mixup_alpha")
 # what fans out across lockstep slots vs what needs sequential rounds:
 # - optimizer.lr / optimizer.weight_decay ride in the optimizer state
 #   (inject_hyperparams),
@@ -55,6 +55,10 @@ VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing",
 #   HyperDropout at trace time (models/vit.py) — the Bernoulli threshold and
 #   1/keep rescale become per-trial traced values. Requires a model exposing
 #   `hyper_dropout` (the ViT family).
+# - dataset.mixup_alpha is a traced Beta parameter threaded through
+#   DevicePipeline.train_batch(mixup_alpha=...) into ops.augment.mixup —
+#   jax.random.beta takes array a/b, so per-slot α vmaps cleanly. Requires
+#   the pipeline to have enable_mixup=True (α > 0 everywhere in the space).
 # Anything that changes the *program* (optimizer family, scheduler shape,
 # architecture dims, attention impl) cannot fan out across slots — those
 # dimensions go through the sequential runner (hpo/runner.py), which shares
@@ -85,6 +89,23 @@ def _make_injected_tx(gradient_clip_val: float | None):
     return optax.inject_hyperparams(wrapped)
 
 
+class _AlphaPipe:
+    """Pipeline view that threads a (possibly traced) per-trial mixup α into
+    every train_batch call; everything else delegates to the wrapped
+    DevicePipeline."""
+
+    def __init__(self, pipe, alpha):
+        self._pipe = pipe
+        self._alpha = alpha
+
+    def train_batch(self, wave, labels, key):
+        return self._pipe.train_batch(wave, labels, key,
+                                      mixup_alpha=self._alpha)
+
+    def __getattr__(self, name):
+        return getattr(self._pipe, name)
+
+
 @dataclasses.dataclass
 class VmappedResult:
     trial_numbers: list[int]
@@ -107,6 +128,8 @@ class VmappedTrialRunner:
         ls_space: dict | None = None,
         do_space: dict | None = None,  # model.dropout search space — needs a
                                        # model with the hyper_dropout hook
+        ma_space: dict | None = None,  # dataset.mixup_alpha search space —
+                                       # needs a pipeline with enable_mixup
         gradient_clip_val: float | None = 1.0,
         min_epochs: int = 0,
         seed: int = 0,
@@ -124,6 +147,15 @@ class VmappedTrialRunner:
                     f"hyper_dropout hook (the ViT family); "
                     f"{type(model).__name__} has none")
             model = model.clone(hyper_dropout=True)
+        if ma_space is not None:
+            if not pipeline.cfg.enable_mixup:
+                raise ValueError(
+                    "ma_space (per-trial mixup alpha) needs a pipeline with "
+                    "enable_mixup=True")
+            if float(ma_space["low"]) <= 0:
+                raise ValueError(
+                    "ma_space.low must be > 0: a traced Beta alpha cannot "
+                    "take the alpha<=0 'mixup off' escape (ops/augment.mixup)")
         self.model = model
         self.pipeline = pipeline
         self.datamodule = datamodule
@@ -134,6 +166,7 @@ class VmappedTrialRunner:
                                      "log": True}
         self.ls_space = ls_space  # None → label smoothing not searched
         self.do_space = do_space  # None → dropout not searched
+        self.ma_space = ma_space  # None → mixup alpha not searched
         self.gradient_clip_val = gradient_clip_val
         self.min_epochs = min_epochs
         self.seed = seed
@@ -141,8 +174,9 @@ class VmappedTrialRunner:
 
     # -- trial batch construction ------------------------------------------------
     def _ask_batch(self, k: int) -> tuple[
-            list[Trial], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        trials, lrs, wds, lss, dos = [], [], [], [], []
+            list[Trial], np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+            np.ndarray]:
+        trials, lrs, wds, lss, dos, mas = [], [], [], [], [], []
         for _ in range(k):
             t = self.study.ask()
             lrs.append(t.suggest_float("optimizer.lr", self.lr_space["low"],
@@ -163,9 +197,16 @@ class VmappedTrialRunner:
                                            self.do_space["high"]))
             else:
                 dos.append(0.0)
+            if self.ma_space:
+                mas.append(t.suggest_float("dataset.mixup_alpha",
+                                           self.ma_space["low"],
+                                           self.ma_space["high"],
+                                           log=self.ma_space.get("log", False)))
+            else:
+                mas.append(1.0)  # unused when ma_space is None (must be > 0)
             trials.append(t)
         return (trials, np.asarray(lrs), np.asarray(wds), np.asarray(lss),
-                np.asarray(dos))
+                np.asarray(dos), np.asarray(mas))
 
     # -- shared execution machinery ---------------------------------------------
     def _build_exec(self):
@@ -211,7 +252,9 @@ class VmappedTrialRunner:
                 hyper=hyper,
             )
 
-        def train_step_one(state, ms, ls, wave, labels):
+        search_alpha = self.ma_space is not None
+
+        def train_step_one(state, ms, ls, ma, wave, labels):
             from dlsc_tpu.train.steps import make_train_step
 
             crit = CrossEntropyLoss()  # smoothing applied via targets below
@@ -221,7 +264,10 @@ class VmappedTrialRunner:
                 y_s = y * (1.0 - ls) + ls / C
                 return crit(logits, y_s, mask=mask)
 
-            return make_train_step(pipe, criterion)(state, ms, wave, labels)
+            # per-trial mixup alpha: hand make_train_step a pipeline view
+            # whose train_batch threads this slot's traced α into the Beta
+            pipe_t = _AlphaPipe(pipe, ma) if search_alpha else pipe
+            return make_train_step(pipe_t, criterion)(state, ms, wave, labels)
 
         def eval_step_one(state, ms, wave, labels, mask):
             from dlsc_tpu.train.steps import make_eval_step
@@ -230,7 +276,7 @@ class VmappedTrialRunner:
                 state, ms, wave, labels, mask
             )
 
-        v_train = jax.vmap(train_step_one, in_axes=(0, 0, 0, None, None))
+        v_train = jax.vmap(train_step_one, in_axes=(0, 0, 0, 0, None, None))
         v_eval = jax.vmap(eval_step_one, in_axes=(0, 0, None, None, None))
         if self.plan is not None and self.plan.mesh.size > 1:
             # trial parallelism over the mesh: the stacked (K, ...) trial
@@ -246,7 +292,7 @@ class VmappedTrialRunner:
                 "init_one": jax.jit(init_one),
                 "init_v": jax.jit(jax.vmap(init_one), out_shardings=tsh),
                 "train": jax.jit(v_train, donate_argnums=(0, 1),
-                                 in_shardings=(tsh, tsh, tsh, rep, rep),
+                                 in_shardings=(tsh, tsh, tsh, tsh, rep, rep),
                                  out_shardings=(tsh, tsh, tsh)),
                 "eval": jax.jit(v_eval, donate_argnums=(1,),
                                 in_shardings=(tsh, tsh, rep, rep, rep),
@@ -281,7 +327,7 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss, dos = self._ask_batch(k)
+        trials, lrs, wds, lss, dos, mas = self._ask_batch(k)
 
         keys = jax.random.split(jax.random.key(self.seed), k)
         states = fns["init_v"](
@@ -289,6 +335,7 @@ class VmappedTrialRunner:
             jnp.asarray(dos, jnp.float32)
         )
         ls_arr = jnp.asarray(lss, jnp.float32)
+        ma_arr = jnp.asarray(mas, jnp.float32)
         v_train, v_eval, v_acc = fns["train"], fns["eval"], fns["acc"]
 
         pruned = [False] * k
@@ -297,7 +344,7 @@ class VmappedTrialRunner:
             ms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
             for batch in dm.train_batches(epoch=epoch, seed=self.seed):
                 states, ms, _ = v_train(
-                    states, ms, ls_arr,
+                    states, ms, ls_arr, ma_arr,
                     jnp.asarray(batch["wave"]), jnp.asarray(batch["label"]),
                 )
             vms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
@@ -344,7 +391,7 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss, dos = self._ask_batch(k)
+        trials, lrs, wds, lss, dos, mas = self._ask_batch(k)
         asked = k
 
         keys = jax.random.split(jax.random.key(self.seed), k)
@@ -353,6 +400,7 @@ class VmappedTrialRunner:
             jnp.asarray(dos, jnp.float32)
         )
         ls_arr = jnp.asarray(lss, jnp.float32)
+        ma_arr = jnp.asarray(mas, jnp.float32)
         slot_epoch = [0] * k
         active = [True] * k
         finished: list[Trial] = []
@@ -362,7 +410,7 @@ class VmappedTrialRunner:
             ms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
             for batch in dm.train_batches(epoch=global_epoch, seed=self.seed):
                 states, ms, _ = fns["train"](
-                    states, ms, ls_arr,
+                    states, ms, ls_arr, ma_arr,
                     jnp.asarray(batch["wave"]), jnp.asarray(batch["label"]),
                 )
             vms = jax.vmap(lambda _: MetricState.create(num_classes))(jnp.arange(k))
@@ -392,7 +440,7 @@ class VmappedTrialRunner:
                 finished.append(t)
                 if asked < total_trials:
                     # recycle the slot with a fresh suggestion
-                    new_trials, nlr, nwd, nls, ndo = self._ask_batch(1)
+                    new_trials, nlr, nwd, nls, ndo, nma = self._ask_batch(1)
                     trials[i] = new_trials[0]
                     asked += 1
                     new_state = fns["init_one"](
@@ -403,6 +451,7 @@ class VmappedTrialRunner:
                     )
                     states = self._scatter_slot(states, new_state, i)
                     ls_arr = ls_arr.at[i].set(float(nls[0]))
+                    ma_arr = ma_arr.at[i].set(float(nma[0]))
                     slot_epoch[i] = 0
                 else:
                     active[i] = False

@@ -231,14 +231,18 @@ def mixup(
     ``prob`` defaults to 0.25: the reference double-gates (0.5 in
     MixupDataset.apply_mixup x 0.5 in MixupAugmentation), giving an effective
     mix probability of 1/4. labels: (B, C) one-hot/soft.
+
+    ``alpha`` may be a traced scalar (vmapped per-trial HPO threads a
+    per-slot Beta α through here); a traced α must be > 0 — the α<=0
+    "mixup off" escape is only taken for static Python values.
     """
     B = spec.shape[0]
     k_gate, k_lam, k_perm = jax.random.split(key, 3)
     gate = jax.random.uniform(k_gate, (B,)) < prob
     lam = (
-        jax.random.beta(k_lam, alpha, alpha, (B,))
-        if alpha > 0
-        else jnp.ones((B,))
+        jnp.ones((B,))
+        if isinstance(alpha, (int, float)) and alpha <= 0
+        else jax.random.beta(k_lam, alpha, alpha, (B,))
     )
     partner = _random_partners(k_perm, B)
     lam_eff = jnp.where(gate, lam, 1.0)

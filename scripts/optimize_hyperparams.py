@@ -57,7 +57,8 @@ def run_vmapped(cfg):
     """TPU-native mode: K lockstep trials per jitted program
     (dlsc_tpu.hpo.vmapped). Enable with optuna.vmapped.enabled=true;
     vmappable hyperparameters are optimizer.lr / optimizer.weight_decay /
-    loss.label_smoothing / model.dropout (see hpo/vmapped.py VMAPPABLE).
+    loss.label_smoothing / model.dropout / dataset.mixup_alpha (see
+    hpo/vmapped.py VMAPPABLE).
     Override the search ranges with e.g.
     ``'+optuna.vmapped.spaces={model.dropout: {low: 0.0, high: 0.5}}'``."""
     from dlsc_tpu.hpo import StudyManager
@@ -94,6 +95,7 @@ def run_vmapped(cfg):
         wd_space=sp.get("optimizer.weight_decay"),
         ls_space=sp.get("loss.label_smoothing"),
         do_space=sp.get("model.dropout"),
+        ma_space=sp.get("dataset.mixup_alpha"),
         gradient_clip_val=cfg.select("trainer.gradient_clip_val", default=1.0),
         min_epochs=int(optuna_cfg.get("min_epochs", 0)),
         seed=int(cfg.select("seed", default=42)),
