@@ -32,8 +32,10 @@ __all__ = ["fanova_importances"]
 
 
 def _encode(trials, names):
-    """Column-encode trial params; returns (X, spans) with X scaled so every
-    feature's domain is [0, 1] (categoricals: k codes mapped onto [0, 1])."""
+    """Column-encode trial params into an (n_trials, n_params) matrix scaled
+    so every feature's domain is [0, 1] (categoricals: k codes mapped onto
+    cell centers (i+0.5)/k, so a split between adjacent codes halves the
+    category mass exactly)."""
     cols = []
     for name in names:
         raw = [t.params[name] for t in trials]
