@@ -14,9 +14,15 @@ Design notes (TPU-first):
   / E) is computed from the static token count; over-capacity tokens are
   dropped (their block output is 0 and the Block residual passes them
   through — the standard Switch behavior).
-- Dispatch/combine use scatter-add/gather with O(tokens·D) work — linear in
-  sequence length, unlike the classic one-hot einsum dispatch whose
-  (B, S, E, C) tensor is quadratic in S at AST's ~1650-token sequences.
+- Dispatch/combine default to the GShard one-hot einsum lowering with
+  routing groups of ≤256 tokens: the (G, S_g, E, C_g) one-hot operands are
+  bounded by the group size (not the full sequence), every op is an MXU
+  matmul, and zero scatters hit XLA:TPU's serializing scatter expander.
+  Measured on v5e (scripts/bench_moe.py, BASELINE.md round 3): einsum
+  fwd+bwd 21.0 ms vs scatter 25.8 ms at the AST-MoE shape, and 119.5 vs
+  99.9 clips/s at the full train step. A scatter-add/gather lowering
+  (O(tokens·D) HBM traffic) remains available as `dispatch='scatter'`;
+  it only wins back at the degenerate single full-sequence group.
 - The router runs in f32 (bf16 gate logits destabilize top-k ordering);
   expert matmuls run in the model dtype (bf16 on TPU).
 - Aux losses (load-balance + router z-loss) are sown into the
