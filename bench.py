@@ -109,6 +109,21 @@ def main() -> None:
 
     clips_per_sec_per_chip = batch * n_iters / dt / n_chips
     vs_baseline = clips_per_sec_per_chip / (TARGET_MULTIPLIER * CPU_CLIPS_PER_SEC)
+
+    # MFU (VERDICT r3 #2): useful = real-token matmul/conv FLOPs with the
+    # standard bwd multipliers (params x3, attention x3.5), no pad rows, no
+    # remat recompute; hw_util additionally counts the pad-1792 rows and the
+    # attn_res remat re-forward of the parameter-matmul chain. Peak resolved
+    # from the device kind (v5e: 197 bf16 TF/s). See dlsc_tpu/utils/mfu.py.
+    from dlsc_tpu.utils.mfu import ast_step_flops, ast_token_counts, peak_tflops
+
+    step_s = dt / n_iters
+    n_real, n_pad = ast_token_counts(model, 220_500)
+    fl = ast_step_flops(model, n_real, n_pad)
+    peak = peak_tflops(jax.devices()[0].device_kind) * 1e12
+    mfu = fl.useful * batch / step_s / peak
+    hw_util = fl.hardware * batch / step_s / peak
+
     print(json.dumps({
         "metric": "AST-Base train-step throughput (fused mel + fwd/bwd + adam), 5s clips",
         "value": round(clips_per_sec_per_chip, 2),
@@ -118,6 +133,9 @@ def main() -> None:
         "backend": backend,
         "n_chips": n_chips,
         "step_ms": round(dt / n_iters * 1e3, 2),
+        "mfu": round(mfu, 4),
+        "hw_util": round(hw_util, 4),
+        "mfu_note": "useful-FLOP MFU @ n_real=%d (params x3, attn x3.5) / %.0f TF/s peak; hw_util adds pad-%d rows + attn_res remat refwd" % (n_real, peak / 1e12, n_pad),
     }))
 
 
