@@ -13,6 +13,7 @@ configs/base_training.yaml:9-16) with f32 params and f32 softmax.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -26,17 +27,36 @@ trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02)
 def _pad_grain() -> int:
     """Sequence-padding grain for the TPU attention kernels.
 
-    Attention cost scales with n_pad² but block width dominates kernel
-    efficiency, and legal block widths must divide n_pad. Grain 256 is the
-    measured sweet spot for AST shapes: 1645 real tokens → n_pad 1792
-    (vs 2048 @512-grain, 1.14× fewer FLOPs) while still admitting 896-wide
-    blocks (kernel fwd+bwd 40.2 ms vs 52.1 @pad-2048, splash_grad_sweep).
-    128-grain pads tightest (1664) but 1664 = 13·128 with 13 prime only
-    admits 128-wide blocks — 2.5× slower. Probe-tunable via DLSC_SPLASH_PAD.
+    Attention cost scales with n_pad² but legal block widths must divide
+    n_pad. History: grain 256 (1645 real tokens → n_pad 1792) was the
+    round-2 sweet spot for the LIBRARY splash kernel, whose efficiency is
+    set by its kv-block width — 1664 = 13·128 (13 prime) admits only
+    128-wide kv blocks there, 2.5× slower. The shape-specialized kernels
+    (ops/attn_fast.py) removed that constraint: their kv extent is always
+    the full row regardless of the q-block width, so the tightest 128-grain
+    pad (1664) costs nothing in kernel efficiency and shrinks every
+    token-row computation in the encoder — attention FLOPs ×(1664/1792)²,
+    parameter-matmul/LN/dropout/residual rows ×(1664/1792) — with zero
+    slice/pad copies (unlike mlp_slice, whose copies ate its savings;
+    BASELINE.md round 3). Default 128 (measured round 4); DLSC_SPLASH_PAD
+    overrides for generic-kernel probes (it also disables the fast path),
+    DLSC_ATTN_FAST_PAD overrides while keeping the fast path.
     """
     import os
 
-    return int(os.environ.get("DLSC_SPLASH_PAD", "256"))
+    v = os.environ.get("DLSC_ATTN_FAST_PAD") or os.environ.get(
+        "DLSC_SPLASH_PAD")
+    return int(v) if v else 128
+
+
+def _attn_interpret() -> bool:
+    """Test-only escape (``DLSC_ATTN_INTERPRET=1``): run the Pallas splash
+    attention kernels through the interpreter so the kernel *path* (incl.
+    head-sharded TP via shard_map) executes on the CPU mesh in CI. Only the
+    splash impl supports it."""
+    import os
+
+    return os.environ.get("DLSC_ATTN_INTERPRET") == "1"
 
 
 class Attention(nn.Module):
@@ -64,6 +84,16 @@ class Attention(nn.Module):
     quant: str | None = None   # 'w8a8': int8 serving quantization of the
                                # qkv/proj matmuls (ops/quant.py) — inference
                                # only; __call__ rejects train=True
+    head_sharding: Any = None  # tensor parallelism over heads: a
+                               # NamedSharding for the (B, H, N, dh) q/k/v
+                               # activations, e.g. P(None, 'model', None,
+                               # None). The attention core (Pallas kernel on
+                               # TPU, dense otherwise) runs under shard_map
+                               # over the head axis — heads attend
+                               # independently, so each model shard computes
+                               # its H/tp heads with zero collectives inside
+                               # attention; the surrounding qkv/proj einsums
+                               # stay GSPMD-partitioned (parallel/tp.py).
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -83,10 +113,17 @@ class Attention(nn.Module):
         flash_ok = (
             self.use_flash
             and self.attn_impl != "dense"
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu"
+                 or (_attn_interpret() and self.attn_impl == "splash"))
             and (self.dropout == 0.0 or not train)  # flash has no attn dropout
         )
-        if flash_ok and self.attn_impl == "splash":
+        if self.head_sharding is not None and (self.dropout == 0.0
+                                               or not train):
+            out = _head_sharded_mha(
+                q, k, v, sm_scale=dh**-0.5, n_real=self.n_real,
+                sharding=self.head_sharding,
+                impl=self.attn_impl if flash_ok else "dense")
+        elif flash_ok and self.attn_impl == "splash":
             out = _splash_mha(q, k, v, sm_scale=dh**-0.5,
                               n_real=self.n_real)              # (B,H,N,dh)
         elif flash_ok:
@@ -103,6 +140,59 @@ class Attention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         return _HeadMergeProj(D, H, self.dtype, self.quant, name="proj")(out)
+
+
+def _dense_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
+    """Dense softmax attention on (B, H, N, dh) without dropout — the inner
+    computation for the head-sharded path off-TPU (matches the Attention
+    dense fallback's math, f32 softmax)."""
+    N = q.shape[2]
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+    if n_real is not None and n_real < N:
+        keep = jnp.arange(N) < n_real
+        attn = jnp.where(keep[None, None, None, :], attn, -1e30)
+    attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+def _head_sharded_mha(q, k, v, *, sm_scale: float, n_real: int | None,
+                      sharding: Any, impl: str):
+    """Attention core under ``shard_map`` over the head axis (TP).
+
+    Heads attend independently, so sharding (B, H, N, dh) on H is
+    embarrassingly parallel — each model shard runs the full kernel on its
+    H/tp heads with no collectives. This is what makes ``use_flash=True``
+    TP-legal: the Pallas splash/fast kernels are not GSPMD-partitionable,
+    but per-shard invocation under manual partitioning is exactly their
+    contract (the kernel grid is already per-head). VERDICT r3 #3; replaces
+    the dense-attention fallback that measurably cannot compile for training
+    at AST sequence lengths (BASELINE.md AST-Small dense rows).
+    """
+    from jax import shard_map
+
+    mesh = sharding.mesh
+    spec = sharding.spec
+    axis = spec[1]
+    if axis is None:
+        raise ValueError(
+            f"head_sharding spec {spec} must shard axis 1 (heads)")
+    tp = mesh.shape[axis]
+    H = q.shape[1]
+    if H % tp:
+        raise ValueError(f"num_heads={H} not divisible by |{axis}|={tp}")
+    if impl == "splash":
+        inner = functools.partial(_splash_mha, sm_scale=sm_scale,
+                                  n_real=n_real)
+    elif impl == "flash":
+        inner = functools.partial(_flash_mha, sm_scale=sm_scale,
+                                  n_real=n_real)
+    else:
+        inner = functools.partial(_dense_mha, sm_scale=sm_scale,
+                                  n_real=n_real)
+    return shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
 
 
 class _PackedQKV(nn.Module):
@@ -126,16 +216,17 @@ class _PackedQKV(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, 3 * D))
         bias = self.param("bias", nn.initializers.zeros_init(), (3 * D,))
         b = bias.astype(self.dtype).reshape(3, H, dh)
-        if self.quant == "w8a8":
-            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+        if self.quant:
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight, w8_dot
 
+            dot = int8_dot if self.quant == "w8a8" else w8_dot
             wq = self.variable(
                 "quant", "kernel_q",
                 lambda: quantize_weight(kernel)[0].reshape(D, 3, H, dh))
             ws = self.variable(
                 "quant", "kernel_scale",
                 lambda: quantize_weight(kernel)[1].reshape(3, H, dh))
-            qkv = int8_dot(x, wq.value, ws.value, self.dtype)  # (B,N,3,H,dh)
+            qkv = dot(x, wq.value, ws.value, self.dtype)  # (B,N,3,H,dh)
             qkv = qkv.transpose(2, 0, 3, 1, 4)                 # (3,B,H,N,dh)
             bb = b[:, None, :, None, :]
             return qkv[0] + bb[0], qkv[1] + bb[1], qkv[2] + bb[2]
@@ -165,15 +256,16 @@ class _HeadMergeProj(nn.Module):
         dh = D // H
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (D, D))
         bias = self.param("bias", nn.initializers.zeros_init(), (D,))
-        if self.quant == "w8a8":
-            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+        if self.quant:
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight, w8_dot
 
+            dot = int8_dot if self.quant == "w8a8" else w8_dot
             wq = self.variable("quant", "kernel_q",
                                lambda: quantize_weight(kernel)[0])
             ws = self.variable("quant", "kernel_scale",
                                lambda: quantize_weight(kernel)[1])
             x = out.transpose(0, 2, 1, 3).reshape(out.shape[0], out.shape[2], D)
-            return int8_dot(x, wq.value, ws.value, self.dtype) + bias.astype(
+            return dot(x, wq.value, ws.value, self.dtype) + bias.astype(
                 self.dtype)
         w = kernel.astype(self.dtype).reshape(H, dh, D)
         return jnp.einsum("bhnd,hdo->bno", out, w) + bias.astype(self.dtype)
@@ -303,10 +395,19 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
                 H, n_pad, dh, min(n_real, n_pad), bq_f,
                 _fit_block(_dkv_bkv_default(q.dtype), n_pad),
                 _fit_block(896, n_pad), str(q.dtype),
-                # 7 sub-rows of the 896-q block: measured 11.55 vs 12.15
-                # ms/call at AST-Base shapes (bit-identical output); the
-                # kernel clamps to the largest valid divisor elsewhere.
-                n_split=int(os.environ.get("DLSC_ATTN_FAST_SPLIT", "7")),
+                # sub-rows of the q block, default 128 wide (measured: at
+                # bq=896 split 7 ran 11.55 vs 12.15 ms/call, bit-identical
+                # output); the kernel clamps to the largest valid divisor.
+                n_split=int(os.environ.get("DLSC_ATTN_FAST_SPLIT", "0"))
+                or max(1, bq_f // 128),
+                # backward: the matching shape-specialized kernel (measured
+                # A/B vs the library fused dkv kernel via DLSC_ATTN_BWD)
+                bwd_impl=os.environ.get("DLSC_ATTN_BWD", "fast"),
+                bq_bwd=(bq_bwd := _fit_block(
+                    int(os.environ.get("DLSC_ATTN_BWD_BQ", "896")), n_pad)),
+                n_split_bwd=int(os.environ.get("DLSC_ATTN_BWD_SPLIT", "0"))
+                or max(1, bq_bwd // 128),
+                interpret=_attn_interpret(),
             )
             return jax.vmap(kernel)(q, k, v)[:, :, :N]
     if n_real < n_pad:
@@ -370,7 +471,7 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
     # from the cheap qkv matmul). ~208 MB/block at B=64.
     kernel = splash.make_splash_mha(
         mask=mask, block_sizes=bs, head_shards=1, q_seq_shards=1,
-        residual_checkpoint_name="attn_res",
+        residual_checkpoint_name="attn_res", interpret=_attn_interpret(),
     )
     out = jax.vmap(kernel, in_axes=(0, 0, 0, None))(q, k, v, segment_ids)
     return out[:, :, :N]
@@ -438,14 +539,15 @@ class _QDense(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        if self.quant == "w8a8":
-            from dlsc_tpu.ops.quant import int8_dot, quantize_weight
+        if self.quant:
+            from dlsc_tpu.ops.quant import int8_dot, quantize_weight, w8_dot
 
+            dot = int8_dot if self.quant == "w8a8" else w8_dot
             wq = self.variable("quant", "kernel_q",
                                lambda: quantize_weight(kernel)[0])
             ws = self.variable("quant", "kernel_scale",
                                lambda: quantize_weight(kernel)[1])
-            return int8_dot(x, wq.value, ws.value, self.dtype) + bias.astype(
+            return dot(x, wq.value, ws.value, self.dtype) + bias.astype(
                 self.dtype)
         return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(
             self.dtype)
@@ -539,6 +641,8 @@ class Block(nn.Module):
                                 # MLP with a top-k routed mixture of experts
     expert_sharding: Any = None # EP: NamedSharding for the MoE (B,E,C,D)
                                 # dispatch buffers (expert axis on the mesh)
+    head_sharding: Any = None   # TP: NamedSharding for the (B,H,N,dh)
+                                # attention activations (see Attention)
     hyper_dropout: bool = False # MLP dropout rate read from the 'hyper'
                                 # collection (vmapped HPO, see HyperDropout)
     mlp_slice: bool = False     # run LN2+MLP on only the first
@@ -568,6 +672,7 @@ class Block(nn.Module):
         x = self._sp(x + Attention(self.dim, self.num_heads, self.attn_dropout,
                                    self.dtype, self.use_flash, self.attn_impl,
                                    self.n_real, self.quant,
+                                   self.head_sharding,
                                    name="attn")(y, train))
         rows = x.shape[1]
         if (self.mlp_slice and self.n_real is not None
@@ -608,6 +713,7 @@ class _ScanBlock(nn.Module):
     quant: str | None = None
     moe: Any = None
     expert_sharding: Any = None
+    head_sharding: Any = None
     hyper_dropout: bool = False
     mlp_slice: bool = False
 
@@ -616,8 +722,8 @@ class _ScanBlock(nn.Module):
         x = Block(self.dim, self.num_heads, self.mlp_ratio, self.dropout,
                   self.attn_dropout, self.dtype, self.use_flash,
                   self.attn_impl, self.n_real, self.token_sharding, self.quant,
-                  self.moe, self.expert_sharding, self.hyper_dropout,
-                  self.mlp_slice, name="block")(x, train)
+                  self.moe, self.expert_sharding, self.head_sharding,
+                  self.hyper_dropout, self.mlp_slice, name="block")(x, train)
         return x, None
 
 
@@ -664,10 +770,14 @@ class ASTViT(nn.Module):
     encoder_pad: bool = True   # pad tokens to the kernel grain once for the
                                # whole encoder (TPU flash paths only) instead
                                # of per-block — see __call__
-    quant: str | None = None   # 'w8a8': int8 serving quantization of the
-                               # encoder qkv/proj/fc1/fc2 matmuls (where the
-                               # FLOPs are; patch-embed conv, LN and the
-                               # head stay in dtype/f32). Inference-only —
+    quant: str | None = None   # int8 serving quantization of the encoder
+                               # qkv/proj/fc1/fc2 matmuls (where the FLOPs
+                               # are; patch-embed conv, LN and the head stay
+                               # in dtype/f32): 'w8a8' (int8 weights AND
+                               # dynamic per-token int8 activations — best
+                               # latency at batch 1) or 'w8' (weight-only
+                               # int8, bf16 activations — no act-quant
+                               # epilogues; see ops/quant.py). Inference-only —
                                # materialize the int8 'quant' collection
                                # from trained params via
                                # dlsc_tpu.ops.quant-style mutable apply.
@@ -678,6 +788,13 @@ class ASTViT(nn.Module):
                                # collected by the train step.
     expert_sharding: Any = None  # EP: NamedSharding for the MoE dispatch
                                  # buffers, e.g. P('data', 'model', None, None)
+    head_sharding: Any = None    # TP over attention heads: NamedSharding for
+                                 # the (B,H,N,dh) q/k/v activations, e.g.
+                                 # P(None, 'model', None, None) — the
+                                 # attention core runs under shard_map so the
+                                 # Pallas kernels stay usable with TP
+                                 # (use_flash=True; see Attention /
+                                 # parallel/tp.py)
     hyper_dropout: bool = False  # MLP dropout rate read from the 'hyper'
                                  # variable collection instead of the static
                                  # attribute — lets the vmapped HPO runner
@@ -786,10 +903,11 @@ class ASTViT(nn.Module):
         # (the pipeline-parallel runner) without a second compact method:
         # 'embed' → (tokens, n_real); 'finalize' → logits from a token
         # matrix; 'all' → the full forward. init() must use part='all'.
-        if self.quant not in (None, "w8a8"):
+        if self.quant not in (None, "w8a8", "w8"):
             # an unknown mode would otherwise silently take the float path
             raise ValueError(
-                f"unknown quant mode {self.quant!r} (supported: 'w8a8')")
+                f"unknown quant mode {self.quant!r} (supported: 'w8a8', "
+                "'w8' — weight-only int8, ops/quant.py)")
         if self.quant and self.moe is not None:
             raise ValueError("int8 quant mode does not support MoE blocks")
         if part == "embed":
@@ -822,6 +940,7 @@ class ASTViT(nn.Module):
               n_real=n_real, token_sharding=self.token_sharding,
               quant=self.quant, moe=moe,
               expert_sharding=self.expert_sharding,
+              head_sharding=self.head_sharding,
               hyper_dropout=self.hyper_dropout, mlp_slice=self.mlp_slice,
               name="blocks")
             x, _ = scanned(x, train)
@@ -835,6 +954,7 @@ class ASTViT(nn.Module):
                     n_real=n_real, token_sharding=self.token_sharding,
                     quant=self.quant, moe=moe,
                     expert_sharding=self.expert_sharding,
+                    head_sharding=self.head_sharding,
                     hyper_dropout=self.hyper_dropout,
                     mlp_slice=self.mlp_slice, name=f"blocks_{i}",
                 )(x, train)

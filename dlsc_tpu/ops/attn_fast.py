@@ -15,11 +15,26 @@ static facts:
   masking is one static iota-compare on the logits tile instead of the
   generic mask/segment-id machinery.
 
-The backward reuses the library's fused splash dkv kernel (already near the
-dh=64 MXU ceiling) through a custom_vjp whose residuals — ``out`` and
-``logsumexp`` in splash's exact convention (natural log, pre-scaled q) —
-are tagged with ``checkpoint_name('attn_res')`` so the `attn_res` remat
-policy keeps them and the remat'd backward skips the forward recompute.
+The backward (``bwd_impl='fast'``, the default) is the matching
+shape-specialized kernel. Given the residuals ``out`` and ``logsumexp``
+(splash's exact convention: natural log, pre-scaled q) it exploits the same
+static facts plus two backward-only ones:
+
+- ``p = exp(s - lse)`` needs NO max or sum passes — the forward's lse
+  already contains both — so the score recompute costs one exp per element
+  (vs the library's full online-softmax replay);
+- masked kv columns have p = 0 and therefore provably contribute nothing
+  to dk/dv, so the whole backward runs on only the first
+  ``round128(n_real)`` columns (1664 vs 1792 at AST-Base shapes — a 7%
+  FLOP/VPU cut the library's block machinery cannot express), with one
+  static iota-compare masking the sub-128 remainder;
+- dk/dv accumulate in f32 VMEM scratch across q blocks (sequential TPU
+  grid), written back once per head.
+
+The library's fused splash dkv kernel remains available as
+``bwd_impl='library'`` (env: ``DLSC_ATTN_BWD``) for A/B. Residuals are
+tagged with ``checkpoint_name('attn_res')`` so the `attn_res` remat policy
+keeps them and the remat'd backward skips the forward recompute.
 
 reference: behavioral equivalent of torch.nn.MultiheadAttention used by
 src/models/ast_small.py:22 (full bidirectional MHA); numerics validated
@@ -46,6 +61,9 @@ def make_fast_mha(
     dtype_name: str,
     n_split: int = 1,
     interpret: bool = False,
+    bwd_impl: str = "fast",
+    bq_bwd: int = 0,
+    n_split_bwd: int = 0,
 ):
     """Build the (H, N, dh) single-batch fast-MHA callable (vmap over B).
 
@@ -57,6 +75,11 @@ def make_fast_mha(
     matmuls issued first, then per-chunk softmax→pv — giving Mosaic's
     scheduler the dependency freedom to overlap chunk j's pv matmul (MXU)
     with chunk j+1's softmax (VPU). Identical math (softmax is per-row).
+
+    ``bwd_impl``: 'fast' (the shape-specialized backward kernel below) or
+    'library' (splash's fused dkv kernel). ``bq_bwd`` / ``n_split_bwd``:
+    q-block width and sub-chunk count for the fast backward (0 → same as
+    the forward's ``block_q`` / ``n_split``).
     """
     from jax.ad_checkpoint import checkpoint_name
     from jax.experimental import pallas as pl
@@ -147,24 +170,144 @@ def make_fast_mha(
         interpret=interpret,
     )
 
-    # dkv-grid mask info for the library fused backward (mirrors what
-    # make_splash_mha builds; fused kernel -> shrink_grid=False)
-    if n_real < N:
-        head_mask = _column_mask(splash_mask, (N, N), n_real)
-    else:
-        head_mask = splash_mask.FullMask((N, N))
-    mask = splash_mask.MultiHeadMask([head_mask for _ in range(H)])
-    dkv_mask_info, mask_function_dkv = mask_info_lib.process_mask_dkv(
-        mask,
-        (bq, block_kv_dkv),
-        downcast_smem_data=True,
-        head_shards=1,
-        q_seq_shards=1,
-        shrink_grid=False,
+    # ---- backward: shape-specialized dq/dk/dv kernel (bwd_impl='fast') ----
+    # Same static facts as the forward, plus: p recomputes as one
+    # exp(s - lse) (no max/sum passes), and masked kv columns (p = 0)
+    # provably contribute nothing to any gradient, so all five matmuls run
+    # on only the first round128(n_real) columns. dk/dv accumulate in f32
+    # VMEM scratch across the (sequential) q-block grid steps.
+    bq_b = bq_bwd or bq
+    assert N % bq_b == 0, (N, bq_b)
+    nblk_b = N // bq_b
+    n_cols = min(-(-n_real // 128) * 128, N)
+    ns_b = max(1, n_split_bwd or n_split)
+    while bq_b % ns_b or (bq_b // ns_b) % 8:
+        ns_b -= 1
+    sub_b = bq_b // ns_b
+
+    def bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                   dq_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+        i = pl.program_id(1)
+        kc = k_ref[0][:n_cols]  # (n_cols, dh)
+        vc = v_ref[0][:n_cols]
+        dk_new = None
+        dv_new = None
+        for j in range(ns_b):
+            sl = slice(j * sub_b, (j + 1) * sub_b)
+            qj = q_ref[0][sl]                       # (sub, dh)
+            doj = do_ref[0][sl]
+            oj = o_ref[0][sl]
+            lsej = lse_ref[0, 0, sl]                # (sub,) f32
+            s = jax.lax.dot_general(                # recompute scores (MXU)
+                qj, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (sub, n_cols) f32
+            if n_real < n_cols:  # mask the sub-128 remainder columns
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_real, s, mask_value)
+            p = jnp.exp(s - lsej[:, None])          # softmax via saved lse
+            dpj = jax.lax.dot_general(              # dP = dO V^T (MXU)
+                doj, vc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dij = jnp.sum(                          # D_i = rowsum(dO*O)
+                doj.astype(jnp.float32) * oj.astype(jnp.float32),
+                axis=-1,
+            )
+            ds = (p * (dpj - dij[:, None])).astype(dtype)
+            pb = p.astype(dtype)
+            dqj = jax.lax.dot_general(              # dQ = dS K
+                ds, kc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[0, sl, :] = dqj.astype(dq_ref.dtype)
+            dvj = jax.lax.dot_general(              # dV += P^T dO
+                pb, doj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (n_cols, dh) f32
+            dkj = jax.lax.dot_general(              # dK += dS^T Q
+                ds, qj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_new = dvj if dv_new is None else dv_new + dvj
+            dk_new = dkj if dk_new is None else dk_new + dkj
+
+        @pl.when(i == 0)
+        def _init():
+            if n_cols < N:  # zero the pad-column tail once
+                dk_acc[n_cols:] = jnp.zeros((N - n_cols, dh), jnp.float32)
+                dv_acc[n_cols:] = jnp.zeros((N - n_cols, dh), jnp.float32)
+            dk_acc[:n_cols] = dk_new
+            dv_acc[:n_cols] = dv_new
+
+        @pl.when(i > 0)
+        def _accum():
+            dk_acc[:n_cols] += dk_new
+            dv_acc[:n_cols] += dv_new
+
+        @pl.when(i == nblk_b - 1)
+        def _flush():
+            dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+            dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=(H, nblk_b),
+        in_specs=[
+            pl.BlockSpec((1, bq_b, dh), lambda h, i: (h, i, 0)),  # q
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),     # k
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),     # v
+            pl.BlockSpec((1, bq_b, dh), lambda h, i: (h, i, 0)),  # do
+            pl.BlockSpec((1, bq_b, dh), lambda h, i: (h, i, 0)),  # out
+            pl.BlockSpec((1, 8, bq_b), lambda h, i: (h, 0, i)),   # lse8
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq_b, dh), lambda h, i: (h, i, 0)),  # dq
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),     # dk
+            pl.BlockSpec((1, N, dh), lambda h, i: (h, 0, 0)),     # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, dh), dtype),
+            jax.ShapeDtypeStruct((H, N, dh), dtype),
+            jax.ShapeDtypeStruct((H, N, dh), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, dh), jnp.float32),  # dk accumulator
+            pltpu.VMEM((N, dh), jnp.float32),  # dv accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * N * n_cols * dh * H,
+            bytes_accessed=8 * N * dh * 2 * H,
+            transcendentals=N * n_cols * H,
+        ),
+        interpret=interpret,
     )
-    # NB: keep MaskInfo leaves as numpy — this factory is lru_cached and may
-    # be first called inside a trace; jnp constants created there would leak
-    # tracers into later traces. Closed-over numpy embeds per-trace instead.
+
+    if bwd_impl == "library":
+        # dkv-grid mask info for the library fused backward (mirrors what
+        # make_splash_mha builds; fused kernel -> shrink_grid=False)
+        if n_real < N:
+            head_mask = _column_mask(splash_mask, (N, N), n_real)
+        else:
+            head_mask = splash_mask.FullMask((N, N))
+        mask = splash_mask.MultiHeadMask([head_mask for _ in range(H)])
+        dkv_mask_info, mask_function_dkv = mask_info_lib.process_mask_dkv(
+            mask,
+            (bq, block_kv_dkv),
+            downcast_smem_data=True,
+            head_shards=1,
+            q_seq_shards=1,
+            shrink_grid=False,
+        )
+        # NB: keep MaskInfo leaves as numpy — this factory is lru_cached and
+        # may be first called inside a trace; jnp constants created there
+        # would leak tracers into later traces. Closed-over numpy embeds
+        # per-trace instead.
+    elif bwd_impl != "fast":
+        raise ValueError(f"unknown bwd_impl {bwd_impl!r}")
 
     @jax.custom_vjp
     def fast_mha(q, k, v):
@@ -173,13 +316,15 @@ def make_fast_mha(
 
     def fast_mha_fwd(q, k, v):
         out, lse8 = fwd_call(q, k, v)
-        lse = lse8[:, 0, :]
         out = checkpoint_name(out, "attn_res")
-        lse = checkpoint_name(lse, "attn_res")
-        return out, (q, k, v, out, lse)
+        lse8 = checkpoint_name(lse8, "attn_res")
+        return out, (q, k, v, out, lse8)
 
     def fast_mha_bwd(res, do):
-        q, k, v, out, lse = res
+        q, k, v, out, lse8 = res
+        if bwd_impl == "fast":
+            return tuple(bwd_call(q, k, v, do, out, lse8))
+        lse = lse8[:, 0, :]
         di = jnp.einsum(
             "hsd,hsd->hs", out.astype(jnp.float32), do.astype(jnp.float32)
         )

@@ -129,6 +129,59 @@ def main(which: list[str]) -> None:
         print(f"[micro]   fast fwd+bwd: {gf / dt / 1e3:.1f} TF/s of "
               "padded-shape flops (fwd + 2.5x bwd)", flush=True)
 
+    if "bwd_ab" in which:
+        # A/B the attention backward: library fused dkv kernel vs the
+        # shape-specialized backward (ops/attn_fast.py), with bq/split
+        # sweeps. Production shapes, encoder-pre-padded inputs.
+        import os
+
+        from dlsc_tpu.models.vit import _splash_mha
+
+        n_pad, n_real = 1792, 1645
+        q, k, v = (jnp.asarray(rng.standard_normal((B, H, n_pad, DH)) * 0.1,
+                               jnp.bfloat16) for _ in range(3))
+
+        def g(q, k, v):
+            def f(q, k, v):
+                o = _splash_mha(q, k, v, sm_scale=DH**-0.5, n_real=n_real)
+                return jnp.sum((o.astype(jnp.float32)) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        gf = 2 * 2 * B * H * n_pad * n_pad * DH * (1 + 2.5) / 1e9
+        configs = [("library", "", "")]
+        for bq in ("896", "1792"):
+            for ns in ("1", "7", "14"):
+                configs.append(("fast", bq, ns))
+        ref = None
+        for impl, bq, ns in configs:
+            os.environ["DLSC_ATTN_BWD"] = impl
+            for k_, v_ in (("DLSC_ATTN_BWD_BQ", bq),
+                           ("DLSC_ATTN_BWD_SPLIT", ns)):
+                if v_:
+                    os.environ[k_] = v_
+                else:
+                    os.environ.pop(k_, None)
+            label = f"bwd {impl}" + (f" bq{bq} ns{ns}" if bq else "")
+            try:
+                dt = _time(jax.jit(g), q, k, v, label=label)
+                print(f"[micro]   -> {gf / dt / 1e3:.1f} TF/s padded "
+                      "(fwd + 2.5x bwd)", flush=True)
+                if impl == "library":
+                    ref = jax.jit(g)(q, k, v)  # keep on device
+                elif ref is not None:
+                    got = jax.jit(g)(q, k, v)
+                    errs = jax.device_get(jax.jit(
+                        lambda a, b: [jnp.max(jnp.abs(
+                            x.astype(jnp.float32) - y.astype(jnp.float32)))
+                            for x, y in zip(a, b)])(got, ref))
+                    print(f"[micro]   max|Δ| vs library dq/dk/dv: "
+                          f"{float(errs[0]):.2e} {float(errs[1]):.2e} "
+                          f"{float(errs[2]):.2e}", flush=True)
+            except Exception as e:
+                print(f"[micro] {label} FAILED: {str(e)[:200]}", flush=True)
+        for k_ in ("DLSC_ATTN_BWD", "DLSC_ATTN_BWD_BQ", "DLSC_ATTN_BWD_SPLIT"):
+            os.environ.pop(k_, None)
+
     if "splash_sweep" in which:
         import os
 

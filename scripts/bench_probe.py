@@ -91,6 +91,13 @@ VARIANTS = {
     "ast_moe_expert_b64": (64, dict(router="expert", dispatch="einsum")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
+    # round-4 A/B ladder: custom backward kernel + tight pad-1664
+    # (ops/attn_fast.py bwd_kernel; _pad_grain default flip)
+    "r4_pad1792_libbwd_b64": (64, dict(), {"DLSC_ATTN_FAST_PAD": "256",
+                                           "DLSC_ATTN_BWD": "library"}),
+    "r4_pad1792_fastbwd_b64": (64, dict(), {"DLSC_ATTN_FAST_PAD": "256"}),
+    "r4_pad1664_b64": (64, dict()),  # new defaults: pad 128 + fast bwd
+    "r4_pad1664_bqfull_b64": (64, dict(), {"DLSC_ATTN_BWD_BQ": "1792"}),
     # VERDICT r2 #5: LN2+MLP on 1664 of 1792 rows (pad-row slack)
     "mlp_slice_b64": (64, dict(mlp_slice=True)),
     # VERDICT r2 #5: memory↔FLOPs — skip the qkv-einsum / fc1-matmul refwd
@@ -249,10 +256,12 @@ def main(argv: list[str]) -> None:
             run_fwd_probe()
             continue
         batch, kw, *env = VARIANTS[name]
-        os.environ.pop("DLSC_SPLASH_BLOCKS", None)
-        os.environ.pop("DLSC_SPLASH_UNFUSED", None)
-        os.environ.pop("DLSC_SPLASH_PAD", None)
-        os.environ.pop("DLSC_RNG_IMPL", None)
+        for key in ("DLSC_SPLASH_BLOCKS", "DLSC_SPLASH_UNFUSED",
+                    "DLSC_SPLASH_PAD", "DLSC_RNG_IMPL",
+                    "DLSC_ATTN_FAST_PAD", "DLSC_ATTN_FAST_SPLIT",
+                    "DLSC_ATTN_BWD", "DLSC_ATTN_BWD_BQ",
+                    "DLSC_ATTN_BWD_SPLIT"):
+            os.environ.pop(key, None)
         for k, v in (env[0] if env else {}).items():
             os.environ[k] = v
         print(f"[probe] building {name} …", flush=True)

@@ -63,14 +63,21 @@ def test_forward_matches_dense(n_real, n_split):
 
 
 @pytest.mark.slow
-def test_gradients_match_dense():
-    """The custom_vjp (lse/out residuals -> library fused dkv backward)
-    produces the dense oracle's gradients, incl. with a pad boundary."""
-    n_real = 200
+@pytest.mark.parametrize("bwd_impl,n_real,n_split_bwd", [
+    ("library", 200, 0),
+    ("fast", 200, 0),     # pad boundary: 200 < n_cols=256 → in-kernel mask
+    ("fast", N, 0),       # no mask
+    ("fast", 200, 4),     # sub-chunked backward
+])
+def test_gradients_match_dense(bwd_impl, n_real, n_split_bwd):
+    """The custom_vjp backward (both the shape-specialized kernel and the
+    library fused dkv path) produces the dense oracle's gradients, incl.
+    with a pad boundary."""
     q, k, v = _qkv(seed=1)
     q = q * DH**-0.5
     kernel = make_fast_mha(
         H, N, DH, n_real, 128, 128, 128, "float32", interpret=True,
+        bwd_impl=bwd_impl, n_split_bwd=n_split_bwd,
     )
     # weight real rows only: pad q-rows are explicitly unspecified
     w = (jnp.arange(N) < n_real).astype(jnp.float32)[None, :, None]
