@@ -229,3 +229,86 @@ def test_tp_sharding_rules():
     assert str(fc2).count("model") == 1
     # norms replicated
     assert str(sh["norm"]["scale"].spec) == "PartitionSpec()"
+
+
+def _run_tp_attention(head_sharded: bool, interpret: bool,
+                      monkeypatch) -> float:
+    """One train-step loss for a small ASTViT, optionally with head-sharded
+    TP attention (shard_map over the 'model' axis) and optionally with the
+    real Pallas kernel path via the interpreter (use_flash=True 'works' on
+    the CPU mesh only through DLSC_ATTN_INTERPRET)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlsc_tpu.models.vit import ASTViT
+    from dlsc_tpu.parallel.tp import (
+        head_activation_sharding, vit_param_shardings,
+    )
+
+    if interpret:
+        monkeypatch.setenv("DLSC_ATTN_INTERPRET", "1")
+    else:
+        monkeypatch.delenv("DLSC_ATTN_INTERPRET", raising=False)
+
+    pipe = DevicePipeline(PipelineConfig(mode="ast", num_classes=10,
+                                         use_pallas=False))
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((16, 8000)).astype(np.float32) * 0.3)
+    labels = jnp.asarray((np.arange(16) % 10).astype(np.int32))
+
+    if head_sharded:
+        plan = MeshPlan(get_mesh(8, model_parallel=2))
+        head_sh = head_activation_sharding(plan.mesh)
+    else:
+        plan, head_sh = None, None
+    model = ASTViT(num_classes=10, emb_dim=64, depth=2, num_heads=2,
+                   patch_stride=16, overlap=0, dropout=0.0,
+                   dtype=jnp.float32, use_flash=True,
+                   head_sharding=head_sh)
+    feats, _ = jax.jit(pipe.train_batch)(wave[:2], labels[:2],
+                                         jax.random.key(0))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, train=False)
+    tx, _ = build_optimizer(adam(lr=1e-3), None, 4, 1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+        rng=jax.random.key(0))
+    ms = MetricState.create(10)
+    step = make_train_step(pipe, CrossEntropyLoss())
+    if head_sharded:
+        param_sh = vit_param_shardings(state.params, plan.mesh)
+        state = state.replace(params=jax.tree_util.tree_map(
+            jax.device_put, state.params, param_sh))
+        step = jax.jit(step, in_shardings=(
+            None, plan.replicated, plan.batch, plan.batch))
+        ms = jax.device_put(ms, plan.replicated)
+        wave, labels = (jax.device_put(wave, plan.batch),
+                        jax.device_put(labels, plan.batch))
+    else:
+        step = jax.jit(step)
+    state, ms, loss = step(state, ms, wave, labels)
+    return float(loss)
+
+
+def test_head_sharded_tp_matches_single_device(monkeypatch):
+    """TP=2 over attention heads (shard_map'd dense core on CPU) must
+    reproduce single-device numerics — heads attend independently."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    base = _run_tp_attention(False, False, monkeypatch)
+    tp = _run_tp_attention(True, False, monkeypatch)
+    np.testing.assert_allclose(base, tp, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_head_sharded_tp_kernel_path_matches_dense(monkeypatch):
+    """use_flash=True under TP=2: the REAL Pallas kernel path (fast fwd +
+    fast bwd, ops/attn_fast.py) executes per-shard inside shard_map via the
+    interpreter and must match the dense single-device numerics — the
+    VERDICT r3 #3 'TP is legal with the kernels' guarantee."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    base = _run_tp_attention(False, False, monkeypatch)
+    tp_kernel = _run_tp_attention(True, True, monkeypatch)
+    np.testing.assert_allclose(base, tp_kernel, rtol=1e-4)
