@@ -1,6 +1,16 @@
-"""Int8 post-training quantization for the serving path (w8a8, dynamic).
+"""Int8 post-training quantization for the serving path.
 
-Scheme — the standard TPU-friendly PTQ recipe:
+Two modes (both calibration-free, built from trained params):
+
+- **'w8a8'** — int8 weights + dynamic per-token int8 activations. Measured
+  round 3: wins at batch 1 (weight-bandwidth-bound, 1.29×) but loses at
+  batch 64 where the dynamic act-quant epilogues dominate.
+- **'w8'** — weight-only int8 (bf16 activations, :func:`w8_dot`): halves
+  the weight HBM reads with NO activation-quant traffic — the fix the
+  round-3 measurement pointed at for the large-batch regression
+  (VERDICT r3 #4).
+
+w8a8 scheme — the standard TPU-friendly PTQ recipe:
 
 - **Weights**: symmetric per-output-channel int8. ``scale_c = max|W[:, c]| / 127``,
   ``Wq = round(W / scale)``. Computed once from the trained f32 params (no
@@ -34,7 +44,8 @@ import jax.numpy as jnp
 def materialize(model, variables, x):
     """Build the int8 ``'quant'`` collection from trained f32 params.
 
-    ``model`` must be constructed with ``quant='w8a8'``. Runs one forward on
+    ``model`` must be constructed with ``quant='w8a8'`` or ``'w8'``. Runs
+    one forward on
     ``x`` with ``mutable='quant'`` — each quantized layer initializes its
     ``kernel_q``/``kernel_scale`` variables from the bound trained kernel
     (weight quantization is input-independent; activation scales are
@@ -47,7 +58,7 @@ def materialize(model, variables, x):
     if "quant" not in mut:
         raise ValueError(
             f"model produced no 'quant' collection — was it constructed with "
-            f"quant='w8a8'? (got quant={getattr(model, 'quant', None)!r})")
+            f"quant='w8a8'/'w8'? (got quant={getattr(model, 'quant', None)!r})")
     return {**variables, "quant": mut["quant"]}
 
 
@@ -78,6 +89,28 @@ def quantize_act(x):
     scale = jnp.maximum(amax, 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return x_q, scale
+
+
+def w8_dot(x, w_q, w_scale, out_dtype):
+    """``x @ dequant(w_q)`` with activations kept in ``out_dtype`` —
+    weight-only int8 ('w8').
+
+    Removes exactly what the w8a8 measurement blamed for its batch-64
+    regression (BASELINE.md round 3): the dynamic activation-quant
+    epilogues. The int8→bf16 weight convert rides the dot's operand load
+    (XLA:TPU fuses converts into dot operands), so weight HBM reads are
+    halved at every batch size while the MXU runs its native bf16 pass;
+    the per-channel scale multiplies the f32 accumulator in the epilogue.
+
+    Same signature as :func:`int8_dot`.
+    """
+    acc = jax.lax.dot_general(
+        x.astype(out_dtype), w_q.astype(out_dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ws = w_scale[(None,) * (x.ndim - 1)]
+    return (acc * ws).astype(out_dtype)
 
 
 def int8_dot(x, w_q, w_scale, out_dtype):

@@ -42,6 +42,14 @@ VARIANTS = {
     "ast_int8_b64": ("ast", 64, "bfloat16", {}, "w8a8"),
     "ast_small_int8_b64": ("ast_small", 64, "bfloat16", {}, "w8a8"),
     "ast_mini_int8_b64": ("ast_mini", 64, "bfloat16", {}, "w8a8"),
+    # weight-only int8 (bf16 activations, no act-quant epilogues — VERDICT
+    # r3 #4; ops/quant.py w8_dot)
+    "ast_w8_b1": ("ast", 1, "bfloat16", {}, "w8"),
+    "ast_w8_b8": ("ast", 8, "bfloat16", {}, "w8"),
+    "ast_w8_b64": ("ast", 64, "bfloat16", {}, "w8"),
+    "ast_small_w8_b1": ("ast_small", 1, "bfloat16", {}, "w8"),
+    "ast_small_w8_b8": ("ast_small", 8, "bfloat16", {}, "w8"),
+    "ast_small_w8_b64": ("ast_small", 64, "bfloat16", {}, "w8"),
     "envnet_b64": ("envnet_v2", 64, "float32", {}),
     # the reference's 10-crop test-time protocol (preprocessing.py:857-884)
     "envnet_10crop_b16": ("envnet_v2", 16, "float32",
@@ -134,13 +142,15 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
     return result
 
 
-def run_agreement(which: str, batch: int = 64, n_batches: int = 4) -> dict:
+def run_agreement(which: str, batch: int = 64, n_batches: int = 4,
+                  quant: str = "w8a8") -> dict:
     """int8-vs-bf16 accuracy delta on a synthetic eval set (VERDICT r2 #4).
 
-    Same params, same eval batches: the w8a8 path's softmax probabilities
-    and top-1 decisions are compared against the bf16 reference forward.
-    Reports top-1 agreement rate, mean/max |Δp| over the prob simplex, and
-    mean |Δ| of the top-1 probability — the serving-relevant deltas.
+    Same params, same eval batches: the quantized path's (``quant``:
+    'w8a8' or 'w8') softmax probabilities and top-1 decisions are compared
+    against the bf16 reference forward. Reports top-1 agreement rate,
+    mean/max |Δp| over the prob simplex, and mean |Δ| of the top-1
+    probability — the serving-relevant deltas.
     """
     import jax
     import jax.numpy as jnp
@@ -151,7 +161,7 @@ def run_agreement(which: str, batch: int = 64, n_batches: int = 4) -> dict:
 
     dtype = jnp.bfloat16
     model_bf16, mode = build(which, dtype, {}, None)
-    model_int8, _ = build(which, dtype, {}, "w8a8")
+    model_int8, _ = build(which, dtype, {}, quant)
     pipe = DevicePipeline(PipelineConfig(
         mode=mode, num_classes=50, window_length=5.0, padding_ratio=0.5))
     rng = np.random.default_rng(0)
@@ -179,7 +189,7 @@ def run_agreement(which: str, batch: int = 64, n_batches: int = 4) -> dict:
         dps.append(np.abs(p_ref - p_q))
         dtop.append(np.abs(p_ref.max(-1) - p_q.max(-1)))
     result = {
-        "variant": f"{which}_int8_agreement",
+        "variant": f"{which}_{quant}_agreement",
         "clips": n,
         "top1_agreement": round(agree / n, 4),
         "mean_abs_dprob": round(float(np.mean(np.concatenate(dps))), 6),
@@ -191,10 +201,11 @@ def run_agreement(which: str, batch: int = 64, n_batches: int = 4) -> dict:
 
 
 def main(argv: list[str]) -> None:
-    if argv and argv[0] == "agree":
+    if argv and argv[0] in ("agree", "agree_w8"):
+        quant = "w8" if argv[0] == "agree_w8" else "w8a8"
         for which in argv[1:] or ["ast", "ast_small"]:
             try:
-                run_agreement(which)
+                run_agreement(which, quant=quant)
             except Exception:
                 print(f"[agree {which}] FAILED", flush=True)
                 traceback.print_exc()

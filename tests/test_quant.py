@@ -185,3 +185,38 @@ def test_quantized_export_roundtrip(tmp_path):
     assert serve.manifest["quant"] == "w8a8"
     served = jax.device_get(serve(wave))
     np.testing.assert_allclose(served, direct, atol=1e-6)
+
+
+def test_w8_dot_close_to_float():
+    from dlsc_tpu.ops.quant import w8_dot
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 3, 4, 8)).astype(np.float32))
+    w_q, scale = quantize_weight(w)
+    out = w8_dot(x, w_q, scale, jnp.float32)
+    ref = jnp.tensordot(x, w, axes=([1], [0]))
+    assert out.shape == ref.shape
+    # weight-only: tighter than w8a8 (activations exact)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.01, rel
+
+
+@pytest.mark.parametrize("scan_blocks", [True, False])
+def test_w8_vit_matches_f32(scan_blocks):
+    """Weight-only int8 ('w8') ViT forward tracks the f32 forward at least
+    as tightly as w8a8 (no activation quantization error)."""
+    from dlsc_tpu.ops.quant import materialize
+
+    x = _mel_input()
+    model = ASTViT(**_VIT_KW, scan_blocks=scan_blocks)
+    model_q = ASTViT(**_VIT_KW, scan_blocks=scan_blocks, quant="w8")
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    ref = model.apply(variables, x, train=False)
+    qvars = materialize(model_q, variables, x)
+    assert "quant" in qvars
+    got = model_q.apply(qvars, x, train=False)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.06)
+    # probabilities stay ordered the same on most rows
+    assert (np.asarray(got).argmax(-1) == np.asarray(ref).argmax(-1)).mean() >= 0.5
