@@ -46,8 +46,10 @@ from dlsc_tpu.train.metrics import MetricState, accuracy
 from dlsc_tpu.train.state import TrainState
 
 VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing",
-             "model.dropout", "dataset.mixup_alpha")
-# what fans out across lockstep slots vs what needs sequential rounds:
+             "model.dropout", "dataset.mixup_alpha",
+             "scheduler.T_max", "scheduler.warmup_frac")
+# THE vmapped-HPO frontier (VERDICT r3 #5 asked for it in one place).
+# What fans out across lockstep slots:
 # - optimizer.lr / optimizer.weight_decay ride in the optimizer state
 #   (inject_hyperparams),
 # - loss.label_smoothing is a traced scalar in the loss closure,
@@ -59,18 +61,67 @@ VMAPPABLE = ("optimizer.lr", "optimizer.weight_decay", "loss.label_smoothing",
 #   DevicePipeline.train_batch(mixup_alpha=...) into ops.augment.mixup —
 #   jax.random.beta takes array a/b, so per-slot α vmaps cleanly. Requires
 #   the pipeline to have enable_mixup=True (α > 0 everywhere in the space).
-# Anything that changes the *program* (optimizer family, scheduler shape,
-# architecture dims, attention impl) cannot fan out across slots — those
-# dimensions go through the sequential runner (hpo/runner.py), which shares
-# the same Study so TPE/Hyperband see all evidence.
+# - scheduler.T_max (cosine period, epochs) / scheduler.warmup_frac: the LR
+#   schedule VALUE is a scalar function of the adam step count, so its shape
+#   parameters ride in the optimizer state like lr does
+#   (schedule_factor below; T_max=0 ⇒ constant lr).
+# What CANNOT fan out — anything that changes the traced *program* rather
+# than a value in it: the optimizer family (adam vs sgd is different state
+# structure), the scheduler FAMILY (cosine vs step vs plateau is different
+# control flow; only the cosine+warmup shape is parameterized here),
+# categorical/architecture dims (emb_dim, depth, attention impl, batch
+# size), and preprocessing mode. Those dimensions go through the sequential
+# runner (hpo/runner.py), which shares the same Study so TPE/Hyperband see
+# all evidence.
+
+
+def schedule_factor(count, t_max_steps, warmup_steps):
+    """Warmup + cosine LR multiplier at adam step ``count`` (all traced).
+
+    linear 0→1 over ``warmup_steps``, then cosine 1→0 over the remaining
+    ``t_max_steps - warmup_steps``; ``t_max_steps == 0`` means no schedule
+    (constant 1.0). Mirrors train/optim.py cosine_annealing + warmup but as
+    a pure function of per-trial scalars, so K vmapped trials each get
+    their own schedule shape inside one compiled program.
+    """
+    c = jnp.asarray(count, jnp.float32)
+    t_max = jnp.asarray(t_max_steps, jnp.float32)
+    warm = jnp.asarray(warmup_steps, jnp.float32)
+    warm_f = jnp.where(warm > 0, jnp.minimum(c / jnp.maximum(warm, 1.0), 1.0),
+                       1.0)
+    prog = jnp.clip((c - warm) / jnp.maximum(t_max - warm, 1.0), 0.0, 1.0)
+    cos = 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+    return jnp.where(t_max > 0, warm_f * cos, 1.0)
+
+
+def _adam_count(state):
+    """The ScaleByAdamState step counter inside an (injected) optax state."""
+    found = []
+
+    def visit(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s.count)
+            return True
+        return False
+
+    jax.tree_util.tree_leaves(state, is_leaf=visit)
+    if not found:
+        raise ValueError("no ScaleByAdamState in optimizer state")
+    return found[0]
 
 
 def _make_injected_tx(gradient_clip_val: float | None):
-    """Adam whose lr / weight decay live in the optimizer *state*
-    (inject_hyperparams), so one GradientTransformation serves K vmapped
-    trials with per-slot values."""
+    """Adam whose lr / weight decay / schedule shape live in the optimizer
+    *state* (inject_hyperparams), so one GradientTransformation serves K
+    vmapped trials with per-slot values.
 
-    def wrapped(learning_rate, weight_decay):
+    ``t_max_steps`` / ``warmup_steps`` parameterize a per-trial
+    warmup+cosine schedule evaluated from the adam step count
+    (schedule_factor); 0 disables it (constant lr).
+    """
+
+    def wrapped(learning_rate, weight_decay, t_max_steps=0.0,
+                warmup_steps=0.0):
         parts = []
         if gradient_clip_val:
             parts.append(optax.clip_by_global_norm(float(gradient_clip_val)))
@@ -80,8 +131,10 @@ def _make_injected_tx(gradient_clip_val: float | None):
         inner = optax.chain(*parts)
 
         def update(grads, state, params=None):
+            lr = learning_rate * schedule_factor(
+                _adam_count(state), t_max_steps, warmup_steps)
             updates, new_state = inner.update(grads, state, params)
-            updates = jax.tree_util.tree_map(lambda u: u * learning_rate, updates)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             return updates, new_state
 
         return optax.GradientTransformation(inner.init, update)
@@ -130,6 +183,13 @@ class VmappedTrialRunner:
                                        # model with the hyper_dropout hook
         ma_space: dict | None = None,  # dataset.mixup_alpha search space —
                                        # needs a pipeline with enable_mixup
+        tmax_space: dict | None = None,  # scheduler.T_max (cosine period,
+                                         # EPOCHS; int) — converted to steps
+                                         # via datamodule.steps_per_epoch and
+                                         # threaded into the per-trial
+                                         # warmup+cosine schedule_factor
+        wu_space: dict | None = None,    # scheduler.warmup_frac (fraction of
+                                         # T_max spent in linear warmup)
         gradient_clip_val: float | None = 1.0,
         min_epochs: int = 0,
         seed: int = 0,
@@ -156,6 +216,10 @@ class VmappedTrialRunner:
                 raise ValueError(
                     "ma_space.low must be > 0: a traced Beta alpha cannot "
                     "take the alpha<=0 'mixup off' escape (ops/augment.mixup)")
+        if wu_space is not None and tmax_space is None:
+            raise ValueError(
+                "wu_space (warmup fraction) needs tmax_space: warmup is a "
+                "fraction of the cosine period")
         self.model = model
         self.pipeline = pipeline
         self.datamodule = datamodule
@@ -167,46 +231,61 @@ class VmappedTrialRunner:
         self.ls_space = ls_space  # None → label smoothing not searched
         self.do_space = do_space  # None → dropout not searched
         self.ma_space = ma_space  # None → mixup alpha not searched
+        self.tmax_space = tmax_space  # None → no schedule (constant lr)
+        self.wu_space = wu_space      # None → no warmup
         self.gradient_clip_val = gradient_clip_val
         self.min_epochs = min_epochs
         self.seed = seed
         self.plan = plan
 
     # -- trial batch construction ------------------------------------------------
-    def _ask_batch(self, k: int) -> tuple[
-            list[Trial], np.ndarray, np.ndarray, np.ndarray, np.ndarray,
-            np.ndarray]:
-        trials, lrs, wds, lss, dos, mas = [], [], [], [], [], []
+    def _ask_batch(self, k: int) -> tuple[list[Trial], dict[str, np.ndarray]]:
+        """Ask K trials; returns the per-slot hyperparameter arrays keyed
+        'lr', 'wd', 'ls', 'do', 'ma', 'tm' (T_max, steps), 'wu' (warmup,
+        steps)."""
+        spe = self.datamodule.steps_per_epoch
+        trials = []
+        cols: dict[str, list] = {n: [] for n in
+                                 ("lr", "wd", "ls", "do", "ma", "tm", "wu")}
         for _ in range(k):
             t = self.study.ask()
-            lrs.append(t.suggest_float("optimizer.lr", self.lr_space["low"],
-                                       self.lr_space["high"],
-                                       log=self.lr_space.get("log", True)))
-            wds.append(t.suggest_float("optimizer.weight_decay",
-                                       self.wd_space["low"], self.wd_space["high"],
-                                       log=self.wd_space.get("log", True)))
-            if self.ls_space:
-                lss.append(t.suggest_float("loss.label_smoothing",
-                                           self.ls_space["low"],
-                                           self.ls_space["high"]))
+            cols["lr"].append(
+                t.suggest_float("optimizer.lr", self.lr_space["low"],
+                                self.lr_space["high"],
+                                log=self.lr_space.get("log", True)))
+            cols["wd"].append(
+                t.suggest_float("optimizer.weight_decay",
+                                self.wd_space["low"], self.wd_space["high"],
+                                log=self.wd_space.get("log", True)))
+            cols["ls"].append(
+                t.suggest_float("loss.label_smoothing", self.ls_space["low"],
+                                self.ls_space["high"])
+                if self.ls_space else 0.0)
+            cols["do"].append(
+                t.suggest_float("model.dropout", self.do_space["low"],
+                                self.do_space["high"])
+                if self.do_space else 0.0)
+            cols["ma"].append(
+                t.suggest_float("dataset.mixup_alpha", self.ma_space["low"],
+                                self.ma_space["high"],
+                                log=self.ma_space.get("log", False))
+                if self.ma_space else 1.0)  # unused when not searched (> 0)
+            if self.tmax_space:
+                tm_epochs = t.suggest_int(
+                    "scheduler.T_max", int(self.tmax_space["low"]),
+                    int(self.tmax_space["high"]))
+                tm = float(tm_epochs * spe)
+                wu = (t.suggest_float("scheduler.warmup_frac",
+                                      self.wu_space["low"],
+                                      self.wu_space["high"]) * tm
+                      if self.wu_space else 0.0)
             else:
-                lss.append(0.0)
-            if self.do_space:
-                dos.append(t.suggest_float("model.dropout",
-                                           self.do_space["low"],
-                                           self.do_space["high"]))
-            else:
-                dos.append(0.0)
-            if self.ma_space:
-                mas.append(t.suggest_float("dataset.mixup_alpha",
-                                           self.ma_space["low"],
-                                           self.ma_space["high"],
-                                           log=self.ma_space.get("log", False)))
-            else:
-                mas.append(1.0)  # unused when ma_space is None (must be > 0)
+                tm, wu = 0.0, 0.0  # schedule off (constant lr)
+            cols["tm"].append(tm)
+            cols["wu"].append(wu)
             trials.append(t)
-        return (trials, np.asarray(lrs), np.asarray(wds), np.asarray(lss),
-                np.asarray(dos), np.asarray(mas))
+        return trials, {n: np.asarray(v, np.float32)
+                        for n, v in cols.items()}
 
     # -- shared execution machinery ---------------------------------------------
     def _build_exec(self):
@@ -217,14 +296,15 @@ class VmappedTrialRunner:
         dm.setup()
         pipe = self.pipeline
         tx = _make_injected_tx(self.gradient_clip_val)(
-            learning_rate=1e-3, weight_decay=0.0
+            learning_rate=1e-3, weight_decay=0.0, t_max_steps=0.0,
+            warmup_steps=0.0,
         )
         sample = next(iter(dm.train_batches(epoch=0)))
         wave0 = jnp.asarray(sample["wave"][:2])
         lab0 = jnp.asarray(sample["label"][:2])
         feats0, _ = jax.jit(pipe.train_batch)(wave0, lab0, jax.random.key(0))
 
-        def init_one(key, lr, wd, do):
+        def init_one(key, lr, wd, do, tm, wu):
             variables = self.model.init(
                 {"params": key, "dropout": jax.random.fold_in(key, 1)},
                 feats0, train=False,
@@ -233,6 +313,8 @@ class VmappedTrialRunner:
             opt_state = opt_state._replace(hyperparams={
                 "learning_rate": jnp.asarray(lr, jnp.float32),
                 "weight_decay": jnp.asarray(wd, jnp.float32),
+                "t_max_steps": jnp.asarray(tm, jnp.float32),
+                "warmup_steps": jnp.asarray(wu, jnp.float32),
             })
             # per-trial dropout: overwrite every HyperDropout 'rate' scalar
             # (stacked (depth,) under scan_blocks) with this trial's value
@@ -327,15 +409,15 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss, dos, mas = self._ask_batch(k)
+        trials, hp = self._ask_batch(k)
 
         keys = jax.random.split(jax.random.key(self.seed), k)
         states = fns["init_v"](
-            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32),
-            jnp.asarray(dos, jnp.float32)
+            keys, jnp.asarray(hp["lr"]), jnp.asarray(hp["wd"]),
+            jnp.asarray(hp["do"]), jnp.asarray(hp["tm"]), jnp.asarray(hp["wu"])
         )
-        ls_arr = jnp.asarray(lss, jnp.float32)
-        ma_arr = jnp.asarray(mas, jnp.float32)
+        ls_arr = jnp.asarray(hp["ls"])
+        ma_arr = jnp.asarray(hp["ma"])
         v_train, v_eval, v_acc = fns["train"], fns["eval"], fns["acc"]
 
         pruned = [False] * k
@@ -391,16 +473,16 @@ class VmappedTrialRunner:
         dm = self.datamodule
         num_classes = dm.num_classes
         fns = self._build_exec()
-        trials, lrs, wds, lss, dos, mas = self._ask_batch(k)
+        trials, hp = self._ask_batch(k)
         asked = k
 
         keys = jax.random.split(jax.random.key(self.seed), k)
         states = fns["init_v"](
-            keys, jnp.asarray(lrs, jnp.float32), jnp.asarray(wds, jnp.float32),
-            jnp.asarray(dos, jnp.float32)
+            keys, jnp.asarray(hp["lr"]), jnp.asarray(hp["wd"]),
+            jnp.asarray(hp["do"]), jnp.asarray(hp["tm"]), jnp.asarray(hp["wu"])
         )
-        ls_arr = jnp.asarray(lss, jnp.float32)
-        ma_arr = jnp.asarray(mas, jnp.float32)
+        ls_arr = jnp.asarray(hp["ls"])
+        ma_arr = jnp.asarray(hp["ma"])
         slot_epoch = [0] * k
         active = [True] * k
         finished: list[Trial] = []
@@ -440,18 +522,18 @@ class VmappedTrialRunner:
                 finished.append(t)
                 if asked < total_trials:
                     # recycle the slot with a fresh suggestion
-                    new_trials, nlr, nwd, nls, ndo, nma = self._ask_batch(1)
+                    new_trials, nhp = self._ask_batch(1)
                     trials[i] = new_trials[0]
                     asked += 1
                     new_state = fns["init_one"](
                         jax.random.fold_in(jax.random.key(self.seed), 1000 + asked),
-                        jnp.asarray(nlr[0], jnp.float32),
-                        jnp.asarray(nwd[0], jnp.float32),
-                        jnp.asarray(ndo[0], jnp.float32),
+                        jnp.asarray(nhp["lr"][0]), jnp.asarray(nhp["wd"][0]),
+                        jnp.asarray(nhp["do"][0]), jnp.asarray(nhp["tm"][0]),
+                        jnp.asarray(nhp["wu"][0]),
                     )
                     states = self._scatter_slot(states, new_state, i)
-                    ls_arr = ls_arr.at[i].set(float(nls[0]))
-                    ma_arr = ma_arr.at[i].set(float(nma[0]))
+                    ls_arr = ls_arr.at[i].set(float(nhp["ls"][0]))
+                    ma_arr = ma_arr.at[i].set(float(nhp["ma"][0]))
                     slot_epoch[i] = 0
                 else:
                     active[i] = False
