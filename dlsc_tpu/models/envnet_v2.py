@@ -49,6 +49,19 @@ class EnvNetV2(nn.Module):
     num_classes: int = 50
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    pool_impl: str = "grab"  # 'grab': argmax-capture max pools whose
+                             # backward is one fused compare/select pass
+                             # (ops/pool.py — XLA's select-and-scatter
+                             # re-reads the 451 MB front-end pool input at
+                             # b32 and serializes); 'xla': nn.max_pool
+                             # reduce-window (A/B: scripts/bench_envnet.py)
+
+    def _pool(self, x, window):
+        if self.pool_impl == "grab":
+            from dlsc_tpu.ops.pool import max_pool_grab
+
+            return max_pool_grab(x, window)
+        return nn.max_pool(x, window, strides=window, padding="VALID")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,7 +76,7 @@ class EnvNetV2(nn.Module):
         # ---- temporal front-end (reference :14-24) ----
         x = _ConvBNRelu(32, (1, 64), (1, 2), self.dtype)(x, train)
         x = _ConvBNRelu(64, (1, 16), (1, 2), self.dtype)(x, train)
-        x = nn.max_pool(x, (1, 64), strides=(1, 64), padding="VALID")
+        x = self._pool(x, (1, 64))
         # channels → frequency axis (reference swapaxes :82):
         # (B, 1, W, 64) → (B, 64, W, 1)
         x = jnp.transpose(x, (0, 3, 2, 1))
@@ -78,7 +91,7 @@ class EnvNetV2(nn.Module):
         ):
             x = block(feats, k1)(x, train)
             x = block(feats, k2)(x, train)
-            x = nn.max_pool(x, pool, strides=pool, padding="VALID")
+            x = self._pool(x, pool)
 
         # ---- classifier (reference :49-60) ----
         x = x.reshape(B, -1)

@@ -382,7 +382,16 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
         # knob is set, so probe sweeps measure the generic kernel they
         # configure rather than silently hitting this fixed config.
         bq_f = _fit_block(896, n_pad)
-        if bq_f * n_pad * 4 <= 8 * 1024 * 1024:
+        if bq_f < 896 and n_pad * n_pad * 4 <= 12 * 1024 * 1024:
+            # poorly-divisible n_pad (e.g. 1664 = 13*128): a narrow q block
+            # serializes qk->softmax->pv per grid step (compute does not
+            # overlap across TPU grid steps — measured 971 vs 959 ms/step at
+            # bq=128). Use the whole row as one block; the sub-chunk split
+            # keeps the MXU/VPU overlap and the f32 logits tiles fit VMEM.
+            bq_f = n_pad
+        if env_bq := os.environ.get("DLSC_ATTN_FAST_BQ"):
+            bq_f = _fit_block(int(env_bq), n_pad)
+        if bq_f * n_pad * 4 <= 12 * 1024 * 1024:
             from dlsc_tpu.ops.attn_fast import make_fast_mha
 
             # dkv backward kv block: dtype-dependent. The fused dkv kernel's
@@ -403,8 +412,13 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
                 # backward: the matching shape-specialized kernel (measured
                 # A/B vs the library fused dkv kernel via DLSC_ATTN_BWD)
                 bwd_impl=os.environ.get("DLSC_ATTN_BWD", "fast"),
+                # whole-row backward block: the bwd kernel is per-chunk
+                # straight-line (no staged tile materialization), so bq=N
+                # always fits and measured fastest (33.9 ms bq1792/ns14 vs
+                # 34.4 bq896/ns7, bench_micro bwd_ab)
                 bq_bwd=(bq_bwd := _fit_block(
-                    int(os.environ.get("DLSC_ATTN_BWD_BQ", "896")), n_pad)),
+                    int(os.environ.get("DLSC_ATTN_BWD_BQ", str(n_pad))),
+                    n_pad)),
                 n_split_bwd=int(os.environ.get("DLSC_ATTN_BWD_SPLIT", "0"))
                 or max(1, bq_bwd // 128),
                 interpret=_attn_interpret(),

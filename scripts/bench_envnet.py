@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 VARIANTS = {
-    # name: (model, batch, dtype)
+    # name: (model, batch, dtype[, model kwargs])
     "envnet_fp32_b32": ("envnet", 32, "float32"),
     "envnet_bf16_b32": ("envnet", 32, "bfloat16"),
     "envnet_fp32_b64": ("envnet", 64, "float32"),
@@ -32,11 +32,19 @@ VARIANTS = {
     "envnet_bf16_b128": ("envnet", 128, "bfloat16"),
     "leaf_fp32_b32": ("leaf", 32, "float32"),
     "leaf_bf16_b32": ("leaf", 32, "bfloat16"),
+    # pool backward A/B (VERDICT r3 #8): argmax-capture custom-vjp pools
+    # (the new default, ops/pool.py) vs XLA reduce-window/select-and-scatter
+    "envnet_xlapool_fp32_b32": ("envnet", 32, "float32",
+                                {"pool_impl": "xla"}),
+    "envnet_xlapool_bf16_b32": ("envnet", 32, "bfloat16",
+                                {"pool_impl": "xla"}),
+    "envnet_xlapool_bf16_b64": ("envnet", 64, "bfloat16",
+                                {"pool_impl": "xla"}),
 }
 
 
 def run_variant(name: str, which: str, batch: int, dtype_name: str,
-                n_iters: int = 10) -> float | None:
+                model_kw: dict | None = None, n_iters: int = 10) -> float | None:
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +59,7 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
     if which == "envnet":
         from dlsc_tpu.models.envnet_v2 import EnvNetV2
 
-        model = EnvNetV2(num_classes=50, dtype=dtype)
+        model = EnvNetV2(num_classes=50, dtype=dtype, **(model_kw or {}))
         bc = True
     else:
         from dlsc_tpu.models.leaf import LeafModel
@@ -104,10 +112,11 @@ def main(argv: list[str]) -> None:
     names = argv or list(VARIANTS)
     results = {}
     for name in names:
-        which, batch, dt = VARIANTS[name]
+        which, batch, dt, *kw = VARIANTS[name]
         print(f"[env] building {name} ...", flush=True)
         try:
-            results[name] = run_variant(name, which, batch, dt)
+            results[name] = run_variant(name, which, batch, dt,
+                                        kw[0] if kw else None)
         except Exception as e:
             print(f"[env] {name} FAILED: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)

@@ -98,6 +98,17 @@ VARIANTS = {
     "r4_pad1792_fastbwd_b64": (64, dict(), {"DLSC_ATTN_FAST_PAD": "256"}),
     "r4_pad1664_b64": (64, dict()),  # new defaults: pad 128 + fast bwd
     "r4_pad1664_bqfull_b64": (64, dict(), {"DLSC_ATTN_BWD_BQ": "1792"}),
+    # r4b: whole-row q blocks (bq = n_pad) for poorly-divisible pads
+    "r4b_pad1664_b64": (64, dict()),          # pad1664, fwd bq1664, bwd bq1664
+    "r4b_pad1792_bwdfull_b64": (64, dict(), {"DLSC_ATTN_FAST_PAD": "256"}),
+    # pad1792 with whole-row fwd too (bq 1792 staged, 12.8 MB tiles)
+    "r4b_pad1792_allfull_b64": (64, dict(), {"DLSC_ATTN_FAST_PAD": "256",
+                                             "DLSC_ATTN_FAST_BQ": "1792"}),
+    # second wave at the pad-1664 default: bigger batch (7% smaller
+    # activations may admit it), qkv-saving remat retry (6.3->5.9 GB)
+    "r4c_pad1664_b128": (128, dict()),
+    "r4c_pad1664_b96": (96, dict()),
+    "r4c_qkv_pad1664_b64": (64, dict(remat_policy="attn_res_qkv")),
     # VERDICT r2 #5: LN2+MLP on 1664 of 1792 rows (pad-row slack)
     "mlp_slice_b64": (64, dict(mlp_slice=True)),
     # VERDICT r2 #5: memory↔FLOPs — skip the qkv-einsum / fc1-matmul refwd
