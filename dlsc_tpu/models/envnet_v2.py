@@ -49,12 +49,20 @@ class EnvNetV2(nn.Module):
     num_classes: int = 50
     dropout: float = 0.5
     dtype: Any = jnp.float32
-    pool_impl: str = "grab"  # 'grab': argmax-capture max pools whose
-                             # backward is one fused compare/select pass
-                             # (ops/pool.py — XLA's select-and-scatter
-                             # re-reads the 451 MB front-end pool input at
-                             # b32 and serializes); 'xla': nn.max_pool
-                             # reduce-window (A/B: scripts/bench_envnet.py)
+    pool_impl: str = "xla"   # 'xla': nn.max_pool reduce-window (default —
+                             # measured FASTER); 'grab': argmax-capture
+                             # custom-vjp pools whose backward is one fused
+                             # compare/select pass (ops/pool.py). Measured
+                             # v5e A/B (scripts/bench_envnet.py, round 4):
+                             # xla 81 vs grab 91 ms/step bf16 b32, 105 vs
+                             # 121 fp32 — XLA's select-and-scatter beats
+                             # the argmax capture here (the argmax reduce
+                             # in the forward plus the window-expanded
+                             # compare/select write cost more than s&s's
+                             # input re-read at these window shapes), so
+                             # the round-3 pool-backward hypothesis is
+                             # refuted by measurement; 'grab' stays as the
+                             # probe knob.
 
     def _pool(self, x, window):
         if self.pool_impl == "grab":
