@@ -45,8 +45,10 @@ def test_ast_base_token_counts_and_flops():
 
     model = ASTModel(num_classes=50)
     n_real, n_pad = ast_token_counts(model, 220_500)
-    # BASELINE.md north-star shapes: 1645 real tokens padded to 1792
-    assert (n_real, n_pad) == (1645, 1792)
+    # BASELINE.md north-star shapes: 1645 real tokens padded to 1664
+    # (grain-128 default since the round-4 whole-row kernels; see
+    # models/vit.py _pad_grain)
+    assert (n_real, n_pad) == (1645, 1664)
     fl = ast_step_flops(model, n_real, n_pad)
     # judge-checkable magnitudes (VERDICT r3 #2): ~1.19 TFLOP useful/sample
     assert 1.1e12 < fl.useful < 1.3e12
