@@ -34,6 +34,8 @@ VARIANTS = {
     "ast_b1": ("ast", 1, "bfloat16", {}),
     "ast_b8": ("ast", 8, "bfloat16", {}),
     "ast_b64": ("ast", 64, "bfloat16", {}),
+    "ast_small_b1": ("ast_small", 1, "bfloat16", {}),
+    "ast_small_b8": ("ast_small", 8, "bfloat16", {}),
     "ast_small_b64": ("ast_small", 64, "bfloat16", {}),
     "ast_mini_b64": ("ast_mini", 64, "bfloat16", {}),
     "ast_moe_b32": ("ast_moe", 32, "bfloat16", {}),
