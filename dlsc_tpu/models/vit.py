@@ -633,6 +633,34 @@ class Mlp(nn.Module):
         return x
 
 
+def _ln_fused_enabled() -> bool:
+    """``DLSC_LN_FUSED=1``: replace the attn-residual + norm2 pair with the
+    fused Pallas add+LN kernel (ops/ln_fused.py). Off by default pending the
+    step-level A/B (BASELINE.md "LN/residual epilogue")."""
+    import os
+
+    return os.environ.get("DLSC_LN_FUSED") == "1"
+
+
+class _FusedResidLN(nn.Module):
+    """``r = x + delta; y = LN(r)`` via the fused kernel, with a param tree
+    identical to ``nn.LayerNorm`` (scale/bias, f32, ones/zeros init) so
+    checkpoints, the timm importer and TP shardings are unaffected."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, delta):
+        from dlsc_tpu.ops.ln_fused import fused_add_ln
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (d,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (d,))
+        return fused_add_ln(x, delta, scale.astype(jnp.float32),
+                            bias.astype(jnp.float32),
+                            interpret=_attn_interpret())
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -683,17 +711,24 @@ class Block(nn.Module):
     def __call__(self, x, train: bool):
         x = self._sp(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = self._sp(x + Attention(self.dim, self.num_heads, self.attn_dropout,
-                                   self.dtype, self.use_flash, self.attn_impl,
-                                   self.n_real, self.quant,
-                                   self.head_sharding,
-                                   name="attn")(y, train))
+        attn_out = Attention(self.dim, self.num_heads, self.attn_dropout,
+                             self.dtype, self.use_flash, self.attn_impl,
+                             self.n_real, self.quant, self.head_sharding,
+                             name="attn")(y, train)
         rows = x.shape[1]
         if (self.mlp_slice and self.n_real is not None
                 and self.moe is None and self.token_sharding is None):
             rows = min(x.shape[1], -(-self.n_real // 128) * 128)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
-            x[:, :rows] if rows < x.shape[1] else x)
+        if (_ln_fused_enabled() and rows == x.shape[1]
+                and self.token_sharding is None
+                and (jax.default_backend() == "tpu" or _attn_interpret())):
+            # fused residual-add + LN2 Pallas kernel (ops/ln_fused.py,
+            # VERDICT r3 #1b): param tree identical to nn.LayerNorm
+            x, y = _FusedResidLN(self.dtype, name="norm2")(x, attn_out)
+        else:
+            x = self._sp(x + attn_out)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
+                x[:, :rows] if rows < x.shape[1] else x)
         if self.moe is not None:
             from dlsc_tpu.models.moe import MoeMlp
 

@@ -1,0 +1,191 @@
+"""Fused residual-add + LayerNorm Pallas kernel (the round-3 verdict's
+"LN/residual epilogue" lever, VERDICT r3 #1b).
+
+Computes ``r = x + delta`` and ``y = LayerNorm(r)`` in ONE pass over the
+token rows: x and delta are each read once, r and y each written once
+(4 row-passes of HBM traffic). XLA's fused chain materializes r, re-reads
+it for the stats reduction and again for the normalize apply (~5-6
+row-passes), so the theoretical win is bounded at ~25-30% of the LN-site
+traffic. The backward kernel fuses the dy→dr LayerNorm gradient with the
+residual gradient add (dx = ddelta = dr_skip + dr_ln — one output, written
+once) and accumulates dgamma/dbeta partials in f32 VMEM scratch across the
+sequential row-block grid, flushed once.
+
+Measured on the v5e at AST-Base shapes ((64·1664, 768) bf16) before any
+model wiring — see BASELINE.md "LN/residual epilogue" for the A/B against
+the XLA chain and the adopt/refute verdict; ``scripts/bench_micro.py
+ln_fused`` reruns it.
+
+reference: behavioral equivalent of the residual + nn.LayerNorm pairs in
+torch ViT blocks (timm Block used by src/models/ast.py via
+DeiT; src/models/ast_small.py:30-44 builds the same pre-LN residual
+structure). Numerics validated against the jnp oracle in
+tests/test_ln_fused.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pick_bm(rows: int, target: int = 1024) -> int:
+    """Largest row-block <= target that divides ``rows`` (multiple of 8)."""
+    bm = min(target, rows)
+    while rows % bm or bm % 8:
+        bm -= 8
+    return max(bm, 8)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_fused_add_ln(rows: int, d: int, eps: float, dtype_name: str,
+                       interpret: bool = False):
+    """Build the (rows, d) fused add+LN callable with custom VJP."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    bm = _pick_bm(rows)
+    nblk = rows // bm
+
+    def fwd_kernel(x_ref, d_ref, g_ref, b_ref, r_ref, y_ref, mu_ref, rs_ref):
+        r = x_ref[...].astype(jnp.float32) + d_ref[...].astype(jnp.float32)
+        mu = jnp.mean(r, axis=-1, keepdims=True)
+        c = r - mu
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        rsig = jax.lax.rsqrt(var + eps)
+        y = c * rsig * g_ref[...].astype(jnp.float32) + b_ref[...].astype(
+            jnp.float32)
+        r_ref[...] = r.astype(r_ref.dtype)
+        y_ref[...] = y.astype(y_ref.dtype)
+        # stats saved for bwd in the (8, rows) sublane-broadcast layout the
+        # attention kernel uses for lse (rows on the lane axis): 3.4 MB per
+        # stats tensor at AST-Base shapes vs 54 MB for a (rows, 128) layout
+        mu_ref[...] = jnp.broadcast_to(mu[:, 0][None, :], (8, bm))
+        rs_ref[...] = jnp.broadcast_to(rsig[:, 0][None, :], (8, bm))
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),   # x
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),   # delta
+            pl.BlockSpec((1, d), lambda i: (0, 0)),    # gamma
+            pl.BlockSpec((1, d), lambda i: (0, 0)),    # beta
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),   # r
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),   # y
+            pl.BlockSpec((8, bm), lambda i: (0, i)),   # mu (8, rows)
+            pl.BlockSpec((8, bm), lambda i: (0, i)),   # rsig (8, rows)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), dtype),
+            jax.ShapeDtypeStruct((rows, d), dtype),
+            jax.ShapeDtypeStruct((8, rows), jnp.float32),
+            jax.ShapeDtypeStruct((8, rows), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def bwd_kernel(r_ref, mu_ref, rs_ref, g_ref, dr_ref, dy_ref,
+                   dx_ref, dg_ref, db_ref, dg_acc, db_acc):
+        i = pl.program_id(0)
+        r = r_ref[...].astype(jnp.float32)
+        mu = mu_ref[0, :][:, None]
+        rsig = rs_ref[0, :][:, None]
+        xhat = (r - mu) * rsig
+        dy = dy_ref[...].astype(jnp.float32)
+        g = g_ref[...].astype(jnp.float32)
+        dyg = dy * g
+        m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+        dr_ln = rsig * (dyg - m1 - xhat * m2)
+        dx_ref[...] = (dr_ref[...].astype(jnp.float32) + dr_ln).astype(
+            dx_ref.dtype)
+        # per-block dgamma/dbeta partials folded to (8, d) sublane stripes
+        dg_p = jnp.sum((dy * xhat).reshape(bm // 8, 8, d), axis=0)
+        db_p = jnp.sum(dy.reshape(bm // 8, 8, d), axis=0)
+
+        @pl.when(i == 0)
+        def _init():
+            dg_acc[...] = dg_p
+            db_acc[...] = db_p
+
+        @pl.when(i > 0)
+        def _accum():
+            dg_acc[...] += dg_p
+            db_acc[...] += db_p
+
+        @pl.when(i == nblk - 1)
+        def _flush():
+            dg_ref[...] = dg_acc[...]
+            db_ref[...] = db_acc[...]
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),    # r
+            pl.BlockSpec((8, bm), lambda i: (0, i)),    # mu (8, rows)
+            pl.BlockSpec((8, bm), lambda i: (0, i)),    # rsig (8, rows)
+            pl.BlockSpec((1, d), lambda i: (0, 0)),     # gamma
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),    # dr (skip grad)
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),    # dy
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),    # dx (= ddelta)
+            pl.BlockSpec((8, d), lambda i: (0, 0)),     # dgamma stripes
+            pl.BlockSpec((8, d), lambda i: (0, 0)),     # dbeta stripes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), dtype),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, d), jnp.float32),
+            pltpu.VMEM((8, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def fused(x, delta, gamma, beta):
+        r, y, _, _ = fwd_call(x, delta, gamma[None, :], beta[None, :])
+        return r, y
+
+    def fused_fwd(x, delta, gamma, beta):
+        r, y, mu, rsig = fwd_call(x, delta, gamma[None, :], beta[None, :])
+        return (r, y), (r, mu, rsig, gamma)
+
+    def fused_bwd(res, grads):
+        r, mu, rsig, gamma = res
+        dr, dy = grads
+        dx, dg8, db8 = bwd_call(r, mu, rsig, gamma[None, :], dr, dy)
+        dg = jnp.sum(dg8, axis=0).astype(gamma.dtype)
+        db = jnp.sum(db8, axis=0).astype(gamma.dtype)
+        return dx, dx, dg, db
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def fused_add_ln(x, delta, gamma, beta, *, eps: float = 1e-6,
+                 interpret: bool = False):
+    """``r = x + delta; y = LayerNorm(r) * gamma + beta`` fused on TPU.
+
+    x, delta: (..., d) same shape/dtype; gamma, beta: (d,). Returns (r, y)
+    with x's dtype; LN statistics computed in f32. The gradient of r is the
+    sum of the skip-path and LN-path gradients, fused into one pass.
+    """
+    shape = x.shape
+    d = shape[-1]
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    f = _make_fused_add_ln(rows, d, eps, str(x.dtype), interpret)
+    r, y = f(x.reshape(rows, d), delta.reshape(rows, d), gamma, beta)
+    return r.reshape(shape), y.reshape(shape)

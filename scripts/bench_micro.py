@@ -656,6 +656,52 @@ def main(which: list[str]) -> None:
 
         _time(f12, bv, x, label="12x Block unrolled (same params)")
 
+    if "ln_fused" in which:
+        # A/B the fused residual-add+LN kernel (ops/ln_fused.py) against
+        # XLA's fused chain at the north-star LN-site shape: 12 chained
+        # sites of r = x + delta; y = LN(r) on (64*1664, 768) bf16, fwd-only
+        # and fwd+bwd (VERDICT r3 #1b).
+        from dlsc_tpu.ops.ln_fused import fused_add_ln
+
+        rows = 64 * 1664
+        x = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+        dl = jnp.asarray(rng.standard_normal((rows, D)), jnp.bfloat16)
+        gamma = jnp.ones(D, jnp.float32)
+        beta = jnp.zeros(D, jnp.float32)
+
+        def xla_site(x, delta, g, b):
+            r = x + delta
+            rf = r.astype(jnp.float32)
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            var = jnp.mean((rf - mu) ** 2, axis=-1, keepdims=True)
+            y = ((rf - mu) * jax.lax.rsqrt(var + 1e-6) * g + b).astype(x.dtype)
+            return r, y
+
+        def chain(site, x, dl, g, b):
+            # y feeds the next site's delta, r carries the residual stream —
+            # the model's exact dataflow
+            for _ in range(12):
+                x, dl = site(x, dl, g, b)
+            return x, dl
+
+        for name, site in (("xla", xla_site), ("pallas", fused_add_ln)):
+            f = partial(chain, site)
+            try:
+                _time(f, x, dl, gamma, beta, label=f"12x add+LN fwd {name}")
+
+                def fg(x, dl, g, b, f=f):
+                    def loss(x, dl, g, b):
+                        r, y = f(x, dl, g, b)
+                        return (jnp.sum(r.astype(jnp.float32)) +
+                                jnp.sum(y.astype(jnp.float32)))
+                    return jax.grad(loss, argnums=(0, 1, 2, 3))(x, dl, g, b)
+
+                _time(fg, x, dl, gamma, beta,
+                      label=f"12x add+LN fwd+bwd {name}")
+            except Exception as e:
+                print(f"[micro] ln_fused {name} FAILED: {str(e)[:200]}",
+                      flush=True)
+
     if run_all or "vit_fwd_noscan" in which:
         from dlsc_tpu.models.vit import ASTViT
 
