@@ -421,6 +421,11 @@ def _splash_mha(q, k, v, *, sm_scale: float, n_real: int | None = None):
                     n_pad)),
                 n_split_bwd=int(os.environ.get("DLSC_ATTN_BWD_SPLIT", "0"))
                 or max(1, bq_bwd // 128),
+                # base-2 softmax probe (fold log2e into the score matmul;
+                # needs the fast bwd for the base-2 lse convention)
+                use_exp2=(os.environ.get("DLSC_ATTN_EXP2") == "1"
+                          and os.environ.get("DLSC_ATTN_BWD", "fast")
+                          == "fast"),
                 interpret=_attn_interpret(),
             )
             return jax.vmap(kernel)(q, k, v)[:, :, :N]

@@ -64,6 +64,7 @@ def make_fast_mha(
     bwd_impl: str = "fast",
     bq_bwd: int = 0,
     n_split_bwd: int = 0,
+    use_exp2: bool = False,
 ):
     """Build the (H, N, dh) single-batch fast-MHA callable (vmap over B).
 
@@ -107,8 +108,21 @@ def make_fast_mha(
         ns -= 1
     sub = bq // ns
 
+    # base-2 softmax experiment (DLSC_ATTN_EXP2=1, fast bwd only): fold
+    # log2(e) into the k operand of the score matmul so the big (sub, N)
+    # exponential tile is a bare exp2 with no multiply pass; p is
+    # bit-identical math (2^(c(s-m)) = e^(s-m)) and the saved lse switches
+    # to base 2 consistently between this fwd and the fast bwd. Gradient
+    # formulas consume only p, so dq/dk/dv use the unscaled operands.
+    assert not (use_exp2 and bwd_impl != "fast")
+    c2 = 1.4426950408889634  # log2(e)
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    _log = jnp.log2 if use_exp2 else jnp.log
+
     def fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
         k = k_ref[0]  # (N, dh)
+        if use_exp2:
+            k = k * c2  # (N, dh) — 26x smaller than the logits tile
         v = v_ref[0]
         # stage 1: all qk matmuls (MXU) up front
         ss = []
@@ -128,7 +142,7 @@ def make_fast_mha(
         # which Mosaic rejects here.
         for j, s in enumerate(ss):
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = _exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(dtype), v, (((1,), (0,)), ((), ())),
@@ -139,7 +153,7 @@ def make_fast_mha(
             # needs the second-to-last block dim divisible by 8); caller
             # slices row 0
             lse_ref[0, :, j * sub:(j + 1) * sub] = jnp.broadcast_to(
-                (m + jnp.log(l))[:, 0][None, :], (8, sub)
+                (m + _log(l))[:, 0][None, :], (8, sub)
             )
 
     grid = (H, N // bq)
@@ -189,6 +203,7 @@ def make_fast_mha(
                    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc):
         i = pl.program_id(1)
         kc = k_ref[0][:n_cols]  # (n_cols, dh)
+        kc_s = kc * c2 if use_exp2 else kc  # scores operand (base-2 fold)
         vc = v_ref[0][:n_cols]
         dk_new = None
         dv_new = None
@@ -199,13 +214,13 @@ def make_fast_mha(
             oj = o_ref[0][sl]
             lsej = lse_ref[0, 0, sl]                # (sub,) f32
             s = jax.lax.dot_general(                # recompute scores (MXU)
-                qj, kc, (((1,), (1,)), ((), ())),
+                qj, kc_s, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                       # (sub, n_cols) f32
             if n_real < n_cols:  # mask the sub-128 remainder columns
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 s = jnp.where(col < n_real, s, mask_value)
-            p = jnp.exp(s - lsej[:, None])          # softmax via saved lse
+            p = _exp(s - lsej[:, None])             # softmax via saved lse
             dpj = jax.lax.dot_general(              # dP = dO V^T (MXU)
                 doj, vc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -656,6 +656,35 @@ def main(which: list[str]) -> None:
 
         _time(f12, bv, x, label="12x Block unrolled (same params)")
 
+    if "exp2_ab" in which:
+        # A/B the base-2 softmax fold (DLSC_ATTN_EXP2) at the production
+        # shape: default vs exp2, fwd+bwd through the fast kernel pair.
+        import os
+
+        from dlsc_tpu.models.vit import _splash_mha
+
+        n_pad, n_real = 1664, 1645
+        q, k, v = (jnp.asarray(rng.standard_normal((B, H, n_pad, DH)) * 0.1,
+                               jnp.bfloat16) for _ in range(3))
+
+        def g(q, k, v):
+            def f(q, k, v):
+                o = _splash_mha(q, k, v, sm_scale=DH**-0.5, n_real=n_real)
+                return jnp.sum((o.astype(jnp.float32)) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        for flag in ("0", "1"):
+            os.environ["DLSC_ATTN_EXP2"] = flag
+            try:
+                # NB: _time jits freshly per call — the env flag is read at
+                # trace time, so each flag gets its own compilation
+                _time(g, q, k, v,
+                      label=f"attn fwd+bwd pad{n_pad} exp2={flag}")
+            except Exception as e:
+                print(f"[micro] exp2={flag} FAILED: {str(e)[:160]}",
+                      flush=True)
+        os.environ.pop("DLSC_ATTN_EXP2", None)
+
     if "ln_fused" in which:
         # A/B the fused residual-add+LN kernel (ops/ln_fused.py) against
         # XLA's fused chain at the north-star LN-site shape: 12 chained

@@ -111,6 +111,8 @@ VARIANTS = {
     "r4c_qkv_pad1664_b64": (64, dict(remat_policy="attn_res_qkv")),
     # round-4 LN/residual epilogue (VERDICT r3 #1b): fused add+LN2 kernel
     "r4d_lnfused_b64": (64, dict(), {"DLSC_LN_FUSED": "1"}),
+    # round-4 base-2 softmax (log2e folded into the score matmul operand)
+    "r4e_exp2_b64": (64, dict(), {"DLSC_ATTN_EXP2": "1"}),
     # VERDICT r2 #5: LN2+MLP on 1664 of 1792 rows (pad-row slack)
     "mlp_slice_b64": (64, dict(mlp_slice=True)),
     # VERDICT r2 #5: memory↔FLOPs — skip the qkv-einsum / fc1-matmul refwd
@@ -273,7 +275,8 @@ def main(argv: list[str]) -> None:
                     "DLSC_SPLASH_PAD", "DLSC_RNG_IMPL",
                     "DLSC_ATTN_FAST_PAD", "DLSC_ATTN_FAST_SPLIT",
                     "DLSC_ATTN_BWD", "DLSC_ATTN_BWD_BQ",
-                    "DLSC_ATTN_BWD_SPLIT", "DLSC_LN_FUSED"):
+                    "DLSC_ATTN_BWD_SPLIT", "DLSC_LN_FUSED",
+                    "DLSC_ATTN_EXP2"):
             os.environ.pop(key, None)
         for k, v in (env[0] if env else {}).items():
             os.environ[k] = v

@@ -96,3 +96,29 @@ def test_gradients_match_dense(bwd_impl, n_real, n_split_bwd):
             np.asarray(g) / scale, np.asarray(x) / scale,
             rtol=5e-5, atol=5e-5, err_msg=f"d{name}",
         )
+
+
+def test_exp2_matches_default_fwd_and_grads():
+    """Base-2 softmax variant (use_exp2): identical outputs and gradients to
+    the natural-base kernel — 2^(log2e*(s-m)) = e^(s-m) and the lse
+    convention switches consistently between fwd and the fast bwd."""
+    n_real = 200
+    q, k, v = _qkv(seed=7)
+    q = q * DH**-0.5
+    base = make_fast_mha(H, N, DH, n_real, 128, 128, 128, "float32",
+                         interpret=True, bwd_impl="fast")
+    exp2 = make_fast_mha(H, N, DH, n_real, 128, 128, 128, "float32",
+                         interpret=True, bwd_impl="fast", use_exp2=True)
+    o_base = base(q, k, v)
+    o_exp2 = exp2(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_exp2)[:, :n_real],
+                               np.asarray(o_base)[:, :n_real], atol=1e-5)
+
+    def loss(f, q, k, v):
+        return jnp.sum(f(q, k, v)[:, :n_real].astype(jnp.float32) ** 2)
+
+    g_base = jax.grad(lambda *a: loss(base, *a), argnums=(0, 1, 2))(q, k, v)
+    g_exp2 = jax.grad(lambda *a: loss(exp2, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_exp2, g_base, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
