@@ -124,6 +124,90 @@ def main() -> None:
     mfu = fl.useful * batch / step_s / peak
     hw_util = fl.hardware * batch / step_s / peak
 
+    # MFU decomposition (VERDICT r4 #7): measure the attention kernel and the
+    # parameter-matmul chain standalone at the step's exact shapes so the
+    # attained TF/s of each band — and the elementwise residual — are
+    # auditable from this one JSON. Never fails the bench (best-effort: the
+    # remote compile helper 500s flakily).
+    decomp = {}
+    try:
+        def _t(fn, *args, n=5):
+            @jax.jit
+            def sf(*a):
+                out = fn(*a)
+                return sum(jnp.sum(x.astype(jnp.float32))
+                           for x in jax.tree_util.tree_leaves(out))
+            out = sf(*args)
+            jax.device_get(out)
+            t0 = time.time()
+            for _ in range(n):
+                out = sf(*args)
+            jax.device_get(out)
+            return (time.time() - t0) / n
+
+        from dlsc_tpu.models.vit import _splash_mha
+
+        H = model.num_heads
+        D = model.emb_dim
+        DH = D // H
+        depth = model.depth
+        q, k, v = (jnp.asarray(
+            rng.standard_normal((batch, H, n_pad, DH)).astype(np.float32)
+            * 0.1, jnp.bfloat16) for _ in range(3))
+
+        def attn_g(q, k, v):
+            def f(q, k, v):
+                o = _splash_mha(q, k, v, sm_scale=DH ** -0.5, n_real=n_real)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        attn_s = _t(attn_g, q, k, v) * depth  # one block's kernel x depth
+        attn_fl = 3.5 * depth * 4.0 * n_pad * n_pad * D * batch
+
+        # parameter-matmul chain: qkv/proj/fc1/fc2 at (B*N_pad, D) bf16 —
+        # grad (fwd + dW + dx = 3x) plus one refwd (the attn_res remat policy
+        # re-runs these matmuls in the backward) = 4x fwd FLOPs, matching
+        # utils/mfu.py's hardware accounting
+        rows = batch * n_pad
+        x0 = jnp.asarray(rng.standard_normal((rows, D)).astype(np.float32)
+                         * 0.1, jnp.bfloat16)
+        sc = 0.02
+        wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * sc, jnp.bfloat16)
+        wproj = jnp.asarray(rng.standard_normal((D, D)) * sc, jnp.bfloat16)
+        w1 = jnp.asarray(rng.standard_normal((D, 4 * D)) * sc, jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((4 * D, D)) * sc, jnp.bfloat16)
+
+        def chain(x, wqkv, wproj, w1, w2):
+            for _ in range(depth):
+                x = x + (x @ wqkv)[:, :D] @ wproj + (x @ w1) @ w2
+            return x
+
+        def chain_g(x, wqkv, wproj, w1, w2):
+            def f(wqkv, wproj, w1, w2):
+                return jnp.sum(
+                    chain(x, wqkv, wproj, w1, w2).astype(jnp.float32) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(wqkv, wproj, w1, w2)
+
+        chain_fwd_s = _t(chain, x0, wqkv, wproj, w1, w2)
+        chain_grad_s = _t(chain_g, x0, wqkv, wproj, w1, w2)
+        param_s = chain_grad_s + chain_fwd_s  # grad(3x) + remat refwd(1x)
+        param_fl = 4.0 * depth * (4.0 + 2.0 * 4.0) * D * D * 2.0 * rows
+
+        decomp = {
+            "attn_kernel_ms": round(attn_s * 1e3, 1),
+            "attn_tfs": round(attn_fl / attn_s / 1e12, 1),
+            "param_chain_ms": round(param_s * 1e3, 1),
+            "param_tfs": round(param_fl / param_s / 1e12, 1),
+            "elementwise_other_ms": round(
+                (step_s - attn_s - param_s) * 1e3, 1),
+            "note": "attn = fast fwd + fused dkv bwd kernel x depth at "
+                    "pad-%d; param = qkv/proj/fc1/fc2 chain grad + remat "
+                    "refwd at (B*N_pad, %d) bf16; residual = LN/dropout/"
+                    "gelu/residual + mel/loss/adam" % (n_pad, D),
+        }
+    except Exception as e:  # pragma: no cover - chip-side flake
+        decomp = {"error": str(e)[:160]}
+
     print(json.dumps({
         "metric": "AST-Base train-step throughput (fused mel + fwd/bwd + adam), 5s clips",
         "value": round(clips_per_sec_per_chip, 2),
@@ -136,6 +220,7 @@ def main() -> None:
         "mfu": round(mfu, 4),
         "hw_util": round(hw_util, 4),
         "mfu_note": "useful-FLOP MFU @ n_real=%d (params x3, attn x3.5) / %.0f TF/s peak; hw_util adds pad-%d rows + attn_res remat refwd" % (n_real, peak / 1e12, n_pad),
+        "decomp": decomp,
     }))
 
 

@@ -66,23 +66,40 @@ class MoeSpec:
                                   # results vary with batch composition —
                                   # set router='expert' where that is
                                   # acceptable.
-    dispatch: str = "einsum"      # dispatch lowering: 'einsum' (GShard
-                                  # one-hot matmuls — zero scatters, all MXU,
-                                  # O(S·E·C) one-hot operands per group) or
-                                  # 'scatter' (scatter-add/gather, O(tokens·D)
-                                  # HBM traffic). Routing semantics are
-                                  # identical; default picked by measured TPU
-                                  # v5e step time (scripts/bench_moe.py,
-                                  # BASELINE.md round 3): at the AST-MoE
-                                  # shape (384d/8E/top-2, B=32, N=1792,
-                                  # group 256) einsum fwd+bwd = 21.0 ms vs
-                                  # scatter 25.8 ms (XLA:TPU serializes the
-                                  # scatter expander). einsum wins at group
-                                  # 256/448; only at the degenerate single
-                                  # full-sequence group (1792, where the
-                                  # one-hot operands blow up to O(N·E·C))
-                                  # does scatter win back — moot at the
-                                  # shipped group_size=256.
+    dispatch: str = "einsum"      # dispatch lowering:
+                                  # 'einsum' — GShard one-hot matmuls (zero
+                                  #   scatters, all MXU, O(S·E·C) one-hot
+                                  #   operands per group);
+                                  # 'scatter' — scatter-add/gather
+                                  #   (O(tokens·D) HBM traffic but XLA:TPU
+                                  #   serializes the scatter expander);
+                                  # 'ragged' — DROPLESS grouped matmul
+                                  #   (megablox-style): token-expert
+                                  #   assignments are sorted by expert and
+                                  #   the expert FFN runs as two grouped
+                                  #   matmuls (Pallas megablox gmm on TPU,
+                                  #   lax.ragged_dot elsewhere) directly on
+                                  #   the sorted rows. No capacity, no
+                                  #   drops, no one-hot operands; dispatch
+                                  #   and combine are gathers whose custom
+                                  #   VJP backward is also gathers (zero
+                                  #   scatters fwd+bwd). Token-choice router
+                                  #   only; falls back to 'einsum' under
+                                  #   expert_sharding (EP shards the
+                                  #   (B,E,C,D) capacity buffers, which the
+                                  #   ragged path does not materialize).
+                                  # Routing semantics of einsum/scatter are
+                                  # identical; 'ragged' additionally keeps
+                                  # over-capacity tokens (dropless — a
+                                  # strict superset of the routed compute).
+                                  # einsum-vs-scatter default picked by
+                                  # measured TPU v5e step time
+                                  # (scripts/bench_moe.py, BASELINE.md
+                                  # round 3): at the AST-MoE shape
+                                  # (384d/8E/top-2, B=32, N=1792, group 256)
+                                  # einsum fwd+bwd = 21.0 ms vs scatter
+                                  # 25.8 ms; round-5 measurements for
+                                  # 'ragged' live in BASELINE.md round 5.
     group_size: int = 256         # routing group: tokens are routed within
                                   # fixed groups of ≤ this many tokens (the
                                   # largest divisor of N is used), with
@@ -95,9 +112,14 @@ class MoeSpec:
             raise ValueError(
                 f"top_k={self.top_k} must be in [1, n_experts={self.n_experts}]"
             )
-        if self.dispatch not in ("scatter", "einsum"):
+        if self.dispatch not in ("scatter", "einsum", "ragged"):
             raise ValueError(
-                f"dispatch={self.dispatch!r} must be 'scatter' or 'einsum'")
+                f"dispatch={self.dispatch!r} must be 'scatter', 'einsum' or"
+                " 'ragged'")
+        if self.dispatch == "ragged" and self.router != "token":
+            raise ValueError(
+                "dispatch='ragged' is dropless token-choice only — "
+                "expert-choice is capacity-based by construction")
         if self.router not in ("token", "expert"):
             raise ValueError(
                 f"router={self.router!r} must be 'token' or 'expert'")
@@ -191,12 +213,29 @@ class MoeMlp(nn.Module):
         topv = topv / jnp.maximum(
             jnp.sum(topv, axis=-1, keepdims=True), 1e-9
         )
-
-        # --- capacity positions per group (stage-major priority: all 1st
-        # choices rank before any 2nd choice, ties broken by token order) ----
         assign = jax.nn.one_hot(topi, E, dtype=jnp.float32)   # (B, N, K, E)
         if valid is not None:
             assign = assign * valid[None, :, None, None]  # pad: no assignment
+
+        if self.spec.dispatch == "ragged" and self.expert_sharding is None:
+            # dropless grouped-matmul dispatch: no capacity, no one-hot
+            # dispatch operands; drop_frac is 0 by construction
+            y = self._ragged(x, topi, topv, valid, B, N, D, E, K, F, train)
+            self._sow_stats(
+                jnp.zeros((), jnp.float32), jnp.sum(assign, axis=(0, 1, 2)))
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv
+            gv = gates if valid is None else gates * valid[None, :, None]
+            prob = jnp.sum(gv, axis=(0, 1)) / nv
+            balance = E * jnp.sum(frac * prob)
+            self.sow(
+                "intermediates", "moe_aux",
+                aux + self.spec.aux_weight * balance,
+            )
+            return y
+
+        # --- capacity positions per group (stage-major priority: all 1st
+        # choices rank before any 2nd choice, ties broken by token order) ----
         a4 = assign.reshape(B, G, S, K, E)
         am = a4.transpose(0, 1, 3, 2, 4).reshape(B, G, K * S, E)
         pos_flat = jnp.cumsum(am, axis=2) - 1.0               # (B, G, K*S, E)
@@ -218,7 +257,9 @@ class MoeMlp(nn.Module):
             jnp.sum(a4 * keep32[..., None], axis=(0, 1, 2, 3)))
 
         # --- dispatch → expert FFN → combine --------------------------------
-        if self.spec.dispatch == "einsum":
+        # ('ragged' + expert_sharding lands here on the einsum lowering: EP
+        # shards the (B,E,C,D) capacity buffers, which ragged never builds)
+        if self.spec.dispatch != "scatter":
             # GShard one-hot matmul dispatch: zero scatters, all MXU. The
             # (B, G, S, E, C) one-hot operands cost O(S·E·C) per group —
             # bounded by group_size, not sequence length.
@@ -311,10 +352,9 @@ class MoeMlp(nn.Module):
             jnp.sum(oh32, axis=(0, 1, 3, 4)))
         return y
 
-    def _ffn(self, buf, E: int, F: int, D: int, train: bool):
-        """Stacked-expert FFN over (BG, E, C, D) capacity buffers — one
-        batched einsum per matmul runs every expert on the MXU."""
-        buf = self._ep(buf)
+    def _expert_params(self, E: int, F: int, D: int):
+        """Stacked expert weights — shared by every dispatch lowering so the
+        param tree (and EP shardings / checkpoints) is dispatch-independent."""
         lecun = jax.nn.initializers.lecun_normal(
             in_axis=-2, out_axis=-1, batch_axis=0
         )
@@ -322,6 +362,54 @@ class MoeMlp(nn.Module):
         bi = self.param("bi", nn.initializers.zeros_init(), (E, F))
         wo = self.param("wo", lecun, (E, F, D))
         bo = self.param("bo", nn.initializers.zeros_init(), (E, D))
+        return wi, bi, wo, bo
+
+    def _ragged(self, x, topi, topv, valid, B, N, D, E, K, F, train):
+        """Dropless dispatch on grouped matmuls (VERDICT r4 #1, megablox /
+        MegaBlocks style): the M = B·N·K token-expert assignment rows are
+        sorted by expert id, the expert FFN runs as two grouped matmuls
+        directly over the sorted row blocks (`_grouped_matmul`: Pallas
+        megablox `gmm` on TPU, `jax.lax.ragged_dot` elsewhere), and the
+        per-row expert biases ride an (M, E) one-hot matmul. Dispatch is a
+        row gather and combine an inverse-permutation gather; both carry a
+        custom VJP whose backward is ALSO a gather (`_gather_rows` /
+        `_combine_rows`), so no scatter ever reaches XLA:TPU's serializing
+        scatter expander. Compared to the einsum lowering this removes the
+        O(S·E·C) one-hot dispatch/combine einsums AND the 1.25× capacity
+        overcompute, at the cost of one M-element sort pair. Pad tokens
+        (>= n_real) still occupy rows (their identical logits route them
+        somewhere) but combine with weight zero, so values and gradients
+        match the masked semantics exactly."""
+        T, M = B * N, B * N * K
+        e_flat = topi.reshape(M)                    # expert id per flat row
+        order = jnp.argsort(e_flat, stable=True)    # sorted row -> flat row
+        inv2 = jnp.argsort(order).reshape(T, K)     # (token, k) -> sorted row
+        tok = order // K                            # sorted row -> token
+        e_sorted = e_flat[order]
+        group_sizes = jnp.sum(                      # incl. pad rows — they
+            jax.nn.one_hot(e_flat, E, dtype=jnp.float32), axis=0
+        ).astype(jnp.int32)                         # occupy sorted rows too
+        dt = self.dtype
+        xs = _gather_rows(x.reshape(T, D).astype(dt), tok, inv2)   # (M, D)
+        wi, bi, wo, bo = self._expert_params(E, F, D)
+        oh_e = jax.nn.one_hot(e_sorted, E, dtype=dt)               # (M, E)
+        h = _grouped_matmul(xs, wi.astype(dt), group_sizes)
+        h = nn.gelu(h + oh_e @ bi.astype(dt), approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out = _grouped_matmul(h, wo.astype(dt), group_sizes)
+        out = out + oh_e @ bo.astype(dt)                           # (M, D)
+        wk = topv.astype(dt)
+        if valid is not None:
+            wk = wk * valid[None, :, None].astype(dt)
+        y = _combine_rows(out, inv2, order)                        # (T, K, D)
+        y = jnp.sum(y * wk.reshape(T, K)[..., None], axis=1)
+        return y.reshape(B, N, D)
+
+    def _ffn(self, buf, E: int, F: int, D: int, train: bool):
+        """Stacked-expert FFN over (BG, E, C, D) capacity buffers — one
+        batched einsum per matmul runs every expert on the MXU."""
+        buf = self._ep(buf)
+        wi, bi, wo, bo = self._expert_params(E, F, D)
         h = jnp.einsum("becd,edf->becf", buf, wi.astype(self.dtype))
         h = nn.gelu(h + bi.astype(self.dtype)[None, :, None, :],
                     approximate=False)
@@ -334,6 +422,89 @@ class MoeMlp(nn.Module):
         if self.expert_sharding is None:
             return buf
         return jax.lax.with_sharding_constraint(buf, self.expert_sharding)
+
+
+def _gmm_impl() -> str:
+    """Grouped-matmul lowering for dispatch='ragged': 'pallas' (megablox gmm
+    kernels) or 'xla' (jax.lax.ragged_dot). 'auto' picks pallas on TPU.
+    Override with DLSC_MOE_GMM=pallas|xla for A/B runs (bench_moe.py)."""
+    import os
+
+    impl = os.environ.get("DLSC_MOE_GMM", "auto")
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def _gmm_tiling() -> tuple:
+    """megablox (m, k, n) tile sizes; DLSC_MOE_GMM_TILE='m,k,n' to probe."""
+    import os
+
+    raw = os.environ.get("DLSC_MOE_GMM_TILE")
+    if raw:
+        return tuple(int(v) for v in raw.split(","))
+    return (512, 128, 128)
+
+
+def _grouped_matmul(lhs, rhs, group_sizes):
+    """out[sizes[:g].sum() : sizes[:g+1].sum()] = lhs[rows of g] @ rhs[g].
+
+    lhs (M, k) sorted so each expert's rows are contiguous, rhs (E, k, n),
+    group_sizes (E,) int32 summing to M. On TPU this is the Pallas megablox
+    gmm (its library custom_vjp pairs gmm for dlhs with tgmm for drhs); the
+    portable path is jax.lax.ragged_dot (differentiable in jax>=0.9)."""
+    if _gmm_impl() == "pallas":
+        from jax.experimental.pallas.ops.tpu.megablox import ops as _mb
+
+        # positional args: custom_vjp with nondiff_argnums rejects keywords
+        return _mb.gmm(lhs, rhs, group_sizes, lhs.dtype, _gmm_tiling())
+    return jax.lax.ragged_dot(
+        lhs, rhs, group_sizes, preferred_element_type=lhs.dtype)
+
+
+@jax.custom_vjp
+def _gather_rows(x, tok, inv2):
+    """Dispatch gather: xs[m] = x[tok[m]] for the expert-sorted row order.
+
+    The custom backward uses the inverse mapping ``inv2`` ((T, K) → sorted
+    row): dx[t] = Σ_k g[inv2[t, k]] — a gather+sum, NOT the scatter-add XLA
+    would otherwise derive for a gather's transpose."""
+    del inv2
+    return x[tok]
+
+
+def _gather_rows_fwd(x, tok, inv2):
+    return x[tok], (inv2,)
+
+
+def _gather_rows_bwd(res, g):
+    (inv2,) = res
+    return (jnp.sum(g[inv2], axis=1), None, None)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
+def _combine_rows(out, inv2, order):
+    """Combine gather: y[t, k] = out[inv2[t, k]] (expert-sorted rows back to
+    token order). Backward is the forward permutation as a gather:
+    dout[m] = g.reshape(M, D)[order[m]] (order[m] is the flat (t·K+k) pair
+    at sorted position m) — again no scatter."""
+    del order
+    return out[inv2]
+
+
+def _combine_rows_fwd(out, inv2, order):
+    return out[inv2], (order, out.shape)
+
+
+def _combine_rows_bwd(res, g):
+    order, out_shape = res
+    return (g.reshape(out_shape)[order], None, None)
+
+
+_combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
 
 
 def _group_size(n: int, cap: int) -> int:

@@ -640,8 +640,13 @@ class Mlp(nn.Module):
 
 def _ln_fused_enabled() -> bool:
     """``DLSC_LN_FUSED=1``: replace the attn-residual + norm2 pair with the
-    fused Pallas add+LN kernel (ops/ln_fused.py). Off by default pending the
-    step-level A/B (BASELINE.md "LN/residual epilogue")."""
+    fused Pallas add+LN kernel (ops/ln_fused.py). Off by default — and stay
+    off: the step-level A/B REFUTED the fusion (BASELINE.md round 4
+    "LN/residual epilogue": XLA's chain is at ~85% of the HBM roofline and
+    beats the Pallas forward by 4 ms), and the kernel's BACKWARD never
+    compiled on the real TPU (2× remote-helper 500s) — flipping this flag on
+    a training step is expected to fail at compile time. Inference-only
+    experiments are the supported use (ADVICE r4)."""
     import os
 
     return os.environ.get("DLSC_LN_FUSED") == "1"

@@ -110,10 +110,13 @@ def make_fast_mha(
 
     # base-2 softmax experiment (DLSC_ATTN_EXP2=1, fast bwd only): fold
     # log2(e) into the k operand of the score matmul so the big (sub, N)
-    # exponential tile is a bare exp2 with no multiply pass; p is
-    # bit-identical math (2^(c(s-m)) = e^(s-m)) and the saved lse switches
-    # to base 2 consistently between this fwd and the fast bwd. Gradient
-    # formulas consume only p, so dq/dk/dv use the unscaled operands.
+    # exponential tile is a bare exp2 with no multiply pass; mathematically
+    # equivalent (2^(c(s-m)) = e^(s-m)) but only numerically near-identical
+    # in finite precision — multiplying k by the rounded log2(e) constant
+    # perturbs the scores (test tolerances: 1e-5 fwd / 2e-4 grads vs the
+    # exp path; ADVICE r4). The saved lse switches to base 2 consistently
+    # between this fwd and the fast bwd. Gradient formulas consume only p,
+    # so dq/dk/dv use the unscaled operands.
     assert not (use_exp2 and bwd_impl != "fast")
     c2 = 1.4426950408889634  # log2(e)
     _exp = jnp.exp2 if use_exp2 else jnp.exp

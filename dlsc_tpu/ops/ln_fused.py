@@ -186,6 +186,14 @@ def fused_add_ln(x, delta, gamma, beta, *, eps: float = 1e-6,
     rows = 1
     for s in shape[:-1]:
         rows *= s
+    if rows % 8:
+        # _pick_bm requires an 8-multiple row count (TPU sublane grain); the
+        # Block call site always satisfies it (rows = B*N_pad, N_pad a
+        # multiple of 128) but this is a public op — raise instead of letting
+        # the block search loop below zero (ADVICE r4)
+        raise ValueError(
+            f"fused_add_ln needs leading-dim product divisible by 8, got "
+            f"{rows} from shape {shape}")
     f = _make_fused_add_ln(rows, d, eps, str(x.dtype), interpret)
     r, y = f(x.reshape(rows, d), delta.reshape(rows, d), gamma, beta)
     return r.reshape(shape), y.reshape(shape)

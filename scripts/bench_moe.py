@@ -68,9 +68,19 @@ def main(which: list[str]) -> None:
     x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32) * 0.1,
                     dtype=jnp.bfloat16)
 
-    modes = [("token", "einsum"), ("token", "scatter"), ("expert", "einsum")]
+    modes = [("token", "einsum"), ("token", "scatter"), ("expert", "einsum"),
+             ("token", "ragged")]
+    if which and which[0] in ("ragged", "ragged_xla"):
+        # round-5 grouped-matmul A/B: dropless ragged dispatch only
+        # (ragged = megablox pallas gmm; ragged_xla = lax.ragged_dot)
+        import os
+        if which[0] == "ragged_xla":
+            os.environ["DLSC_MOE_GMM"] = "xla"
+        modes = [("token", "ragged")]
+        which = which[1:]
     for router, dispatch in modes:
-        for gs in (256, 448, N):
+        group_sizes = (256,) if dispatch == "ragged" else (256, 448, N)
+        for gs in group_sizes:
             spec = MoeSpec(n_experts=E, top_k=K, router=router,
                            dispatch=dispatch, group_size=gs)
             m = MoeMlp(D, spec, dtype=jnp.bfloat16)

@@ -23,7 +23,12 @@ DATASETS = {
         "final_dir": "ESC-50-master",
     },
     "urbansound8k": {
-        "url": "https://goo.gl/8hY5ER",  # zenodo redirect used upstream
+        # The reference uses the goo.gl shortener (scripts/download_data.py:86)
+        # which Google shut down in 2025 — dead even with egress. This is the
+        # direct zenodo record the shortener used to resolve to (tar.gz, not
+        # zip: extraction dispatches on the suffix below).
+        "url": ("https://zenodo.org/records/1203745/files/"
+                "UrbanSound8K.tar.gz?download=1"),
         "final_dir": "UrbanSound8K",
     },
 }
@@ -36,7 +41,8 @@ def download_and_extract(name: str, out_root: Path) -> Path:
     if final.exists():
         print(f"{final} already present — skipping download")
         return final
-    archive = out_root / f"{name}.zip"
+    ext = ".tar.gz" if ".tar.gz" in spec["url"] else ".zip"
+    archive = out_root / f"{name}{ext}"
     print(f"downloading {spec['url']} → {archive}")
 
     def hook(blocks, bs, total):
@@ -53,8 +59,14 @@ def download_and_extract(name: str, out_root: Path) -> Path:
             f"{spec['url']} elsewhere and place the extracted tree at {final}."
         )
     print("\nextracting…")
-    with zipfile.ZipFile(archive) as z:
-        z.extractall(out_root)
+    if ext == ".tar.gz":
+        import tarfile
+
+        with tarfile.open(archive, "r:gz") as t:
+            t.extractall(out_root)
+    else:
+        with zipfile.ZipFile(archive) as z:
+            z.extractall(out_root)
     archive.unlink(missing_ok=True)
     if not final.exists():
         # normalize top-level dir name if the archive used another
