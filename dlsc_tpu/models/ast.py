@@ -133,7 +133,7 @@ _IGNORED_TIMM_KEYS = frozenset({
 
 def load_torch_vit(
     params: Mapping, state_dict: Mapping[str, "np.ndarray"], model: ASTViT,
-    strict: bool = True,
+    strict: bool = True, audit: dict | None = None,
 ) -> dict:
     """Map a timm ViT state dict onto ASTViT params.
 
@@ -154,6 +154,14 @@ def load_torch_vit(
       mismatches can't slip through.
 
     ``state_dict`` values may be torch tensors or numpy arrays.
+
+    ``audit``: pass a dict to collect a conversion report
+    (scripts/import_vit.py --audit): per-transform notes (channel-mean,
+    pos-embed grids), consumed / ignored / leftover key sets, and the
+    mapped parameter count — the end-to-end shape/name validation for a
+    user-supplied local checkpoint (VERDICT r4 #8: real timm/AudioSet
+    weights have never transited this path in the zero-egress build
+    environment, so the audit is the arrival-day one-command check).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     for prefix in ("model.", "module."):
@@ -179,8 +187,16 @@ def load_torch_vit(
             path, node[path[-1]].shape, val.shape)
         node[path[-1]] = val.astype(node[path[-1]].dtype)
 
+    notes: list[str] = []
+
     # patch embed: (D, C, k, k) → channel-mean → (D, 1, k, k) → HWIO (k, k, 1, D)
-    w = take("patch_embed.proj.weight").mean(axis=1, keepdims=True)
+    w_src = take("patch_embed.proj.weight")
+    notes.append(
+        f"patch_embed.proj.weight {w_src.shape} -> channel-mean over "
+        f"{w_src.shape[1]} input channels -> HWIO "
+        f"{(w_src.shape[2], w_src.shape[3], 1, w_src.shape[0])} "
+        "(reference src/models/ast.py:30-33)")
+    w = w_src.mean(axis=1, keepdims=True)
     put(["patch_embed", "kernel"], w.transpose(2, 3, 1, 0))
     put(["patch_embed", "bias"], take("patch_embed.proj.bias"))
 
@@ -203,6 +219,11 @@ def load_torch_vit(
     new_pos = interpolate_pos_embed(
         cls_and_patches, (old_side, old_side), model.grid_size
     )
+    notes.append(
+        f"pos_embed {pe.shape} ({n_prefix} prefix token(s), "
+        f"{old_side}x{old_side} grid) -> bilinear 2-D interpolation -> "
+        f"{new_pos.shape} (audio grid {model.grid_size[0]}x"
+        f"{model.grid_size[1]}; reference src/models/ast.py:42-48)")
     put(["pos_embed"], new_pos)
 
     def block_entries(i: int) -> dict[tuple[str, ...], np.ndarray]:
@@ -236,6 +257,16 @@ def load_torch_vit(
     put(["norm", "bias"], take("norm.bias"))
 
     leftover = set(sd) - consumed - _IGNORED_TIMM_KEYS
+    if audit is not None:
+        audit.update({
+            "n_source_keys": len(sd),
+            "consumed": sorted(consumed),
+            "ignored": sorted(set(sd) & _IGNORED_TIMM_KEYS),
+            "leftover": sorted(leftover),
+            "notes": notes,
+            "n_target_leaves": len(jax.tree_util.tree_leaves(p)),
+            "layout": "scan" if "blocks" in p else "unrolled",
+        })
     if leftover and strict:
         raise ValueError(
             "unconsumed keys in timm state dict (unexpected layout): "

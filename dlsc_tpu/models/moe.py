@@ -34,6 +34,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -381,29 +382,54 @@ class MoeMlp(nn.Module):
         somewhere) but combine with weight zero, so values and gradients
         match the masked semantics exactly."""
         T, M = B * N, B * N * K
-        e_flat = topi.reshape(M)                    # expert id per flat row
-        order = jnp.argsort(e_flat, stable=True)    # sorted row -> flat row
-        inv2 = jnp.argsort(order).reshape(T, K)     # (token, k) -> sorted row
+        n_r = N if self.n_real is None else min(self.n_real, N)
+        m_real = B * n_r * K                        # static: pads are a
+        e_flat = topi.reshape(M)                    # fixed tail per sequence
+        if valid is not None:
+            # pads get the virtual expert id E: the stable sort pushes all
+            # their rows past m_real, so the grouped matmuls run on a STATIC
+            # (m_real, ·) slice — the pad fraction costs no FFN FLOPs and no
+            # gather traffic (e.g. 10.3% at the AST-MoE 689/768 trunk)
+            pad_row = (jnp.arange(N) >= n_r)        # (N,)
+            e_flat = jnp.where(
+                jnp.broadcast_to(pad_row[None, :, None], (B, N, K)).reshape(M),
+                E, e_flat)
+        group_sizes = jnp.sum(                      # (E,) sums to m_real
+            jax.nn.one_hot(e_flat, E, dtype=jnp.float32), axis=0
+        ).astype(jnp.int32)                         # (one_hot(E, E) == 0)
+        # two argsorts (the counting-rank cumsum alternative measured equal:
+        # 11.96 vs 11.74 ms/block on v5e, round-5 sweep — sorts are cheap
+        # relative to the gathers/matmuls at these sizes)
+        # round the slice up to the gmm m-tile (megablox requires rows %
+        # tile_m == 0); the extra rows are pad rows appended to the last
+        # expert's group — computed but combine-weight-zero, so values and
+        # gradients stay exact (their dout rows are exactly 0)
+        tile_m = _gmm_tiling()[0] if _gmm_impl() == "pallas" else 8
+        m_pad = min(M, -(-m_real // tile_m) * tile_m)
+        if m_pad > m_real:
+            group_sizes = group_sizes.at[E - 1].add(m_pad - m_real)
+        order_full = jnp.argsort(e_flat, stable=True)   # sorted row -> flat
+        inv2 = jnp.argsort(order_full).reshape(T, K)    # (t, k) -> sorted;
+        order = order_full[:m_pad]                      # pad rows >= m_real
+        m_real = m_pad
         tok = order // K                            # sorted row -> token
         e_sorted = e_flat[order]
-        group_sizes = jnp.sum(                      # incl. pad rows — they
-            jax.nn.one_hot(e_flat, E, dtype=jnp.float32), axis=0
-        ).astype(jnp.int32)                         # occupy sorted rows too
         dt = self.dtype
-        xs = _gather_rows(x.reshape(T, D).astype(dt), tok, inv2)   # (M, D)
+        xs = _gather_rows(
+            x.reshape(T, D).astype(dt), tok, inv2)  # (m_real, D)
         wi, bi, wo, bo = self._expert_params(E, F, D)
-        oh_e = jax.nn.one_hot(e_sorted, E, dtype=dt)               # (M, E)
+        bias = _row_bias(e_sorted, dt)                  # per-row expert bias
         h = _grouped_matmul(xs, wi.astype(dt), group_sizes)
-        h = nn.gelu(h + oh_e @ bi.astype(dt), approximate=False)
+        h = nn.gelu(h + bias(bi), approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         out = _grouped_matmul(h, wo.astype(dt), group_sizes)
-        out = out + oh_e @ bo.astype(dt)                           # (M, D)
+        out = out + bias(bo)                            # (m_real, D)
         wk = topv.astype(dt)
         if valid is not None:
             wk = wk * valid[None, :, None].astype(dt)
-        y = _combine_rows(out, inv2, order)                        # (T, K, D)
-        y = jnp.sum(y * wk.reshape(T, K)[..., None], axis=1)
-        return y.reshape(B, N, D)
+        y = _combine_rows(out, inv2, order)             # (T, K, D); pad rows
+        y = jnp.sum(y * wk.reshape(T, K)[..., None], axis=1)  # read the zero
+        return y.reshape(B, N, D)                       # sentinel row
 
     def _ffn(self, buf, E: int, F: int, D: int, train: bool):
         """Stacked-expert FFN over (BG, E, C, D) capacity buffers — one
@@ -443,7 +469,46 @@ def _gmm_tiling() -> tuple:
     raw = os.environ.get("DLSC_MOE_GMM_TILE")
     if raw:
         return tuple(int(v) for v in raw.split(","))
-    return (512, 128, 128)
+    # measured on v5e (round-5 sweep, AST-MoE block shapes): (1024,384,512)
+    # fwd 12.8 vs 18.6 ms for the megablox default-ish (512,128,128)
+    return (1024, 384, 512)
+
+
+def _row_bias(e_sorted, dtype):
+    """Per-row expert bias for the sorted (M, ·) activations: returns a
+    closure mapping a stacked (E, F) bias table to its (M, F) row expansion.
+    Two lowerings (DLSC_MOE_BIAS, A/B'd on chip): 'gather' (bias[e_sorted],
+    fuses into the consuming elementwise op) or 'onehot' ((M, E) @ (E, F)
+    matmul)."""
+    import os
+
+    impl = os.environ.get("DLSC_MOE_BIAS", "onehot")
+
+    def expand(table):
+        t = table.astype(dtype)
+        if impl == "gather":
+            # loses on chip: the gather's default VJP scatter-adds M rows
+            # into the (E, F) table (serializing scatter expander) — grad
+            # 27.7 vs 21.5 ms/block (round-5 sweep); 'onehot' keeps both
+            # directions as matmuls
+            return t[e_sorted]
+        if impl == "none":  # debug/bench bound only — drops the bias!
+            return jnp.zeros((1, t.shape[1]), dtype)
+        oh_e = jax.nn.one_hot(e_sorted, t.shape[0], dtype=dtype)
+        return oh_e @ t
+    return expand
+
+
+def _fit_tile(t: int, dim: int, grain: int) -> int | None:
+    """Largest tile <= t that divides ``dim`` and is a multiple of ``grain``
+    (megablox requires every dimension divisible by its tile), or None."""
+    t = max(grain, min(t, dim))
+    t -= t % grain
+    while t >= grain:
+        if dim % t == 0:
+            return t
+        t -= grain
+    return None
 
 
 def _grouped_matmul(lhs, rhs, group_sizes):
@@ -451,35 +516,48 @@ def _grouped_matmul(lhs, rhs, group_sizes):
 
     lhs (M, k) sorted so each expert's rows are contiguous, rhs (E, k, n),
     group_sizes (E,) int32 summing to M. On TPU this is the Pallas megablox
-    gmm (its library custom_vjp pairs gmm for dlhs with tgmm for drhs); the
-    portable path is jax.lax.ragged_dot (differentiable in jax>=0.9)."""
+    gmm (its library custom_vjp pairs gmm for dlhs with tgmm for drhs),
+    with the configured tiling shrunk per-dimension to the divisibility
+    megablox requires; the portable path — and the fallback when no legal
+    tiling exists — is jax.lax.ragged_dot (differentiable in jax>=0.9)."""
     if _gmm_impl() == "pallas":
-        from jax.experimental.pallas.ops.tpu.megablox import ops as _mb
+        m, k = lhs.shape
+        n = rhs.shape[-1]
+        tm0, tk0, tn0 = _gmm_tiling()
+        tm = _fit_tile(tm0, m, 8)
+        tk = _fit_tile(tk0, k, 128)
+        tn = _fit_tile(tn0, n, 128)
+        if tm is not None and tk is not None and tn is not None:
+            from jax.experimental.pallas.ops.tpu.megablox import ops as _mb
 
-        # positional args: custom_vjp with nondiff_argnums rejects keywords
-        return _mb.gmm(lhs, rhs, group_sizes, lhs.dtype, _gmm_tiling())
+            return _mb.gmm(lhs, rhs, group_sizes, lhs.dtype, (tm, tk, tn))
     return jax.lax.ragged_dot(
         lhs, rhs, group_sizes, preferred_element_type=lhs.dtype)
 
 
 @jax.custom_vjp
 def _gather_rows(x, tok, inv2):
-    """Dispatch gather: xs[m] = x[tok[m]] for the expert-sorted row order.
+    """Dispatch gather: xs[m] = x[tok[m]] for the first m_real = len(tok)
+    expert-sorted rows (``tok`` is already the sliced sorted→token map; pad
+    rows sort past m_real and are never dispatched).
 
     The custom backward uses the inverse mapping ``inv2`` ((T, K) → sorted
     row): dx[t] = Σ_k g[inv2[t, k]] — a gather+sum, NOT the scatter-add XLA
-    would otherwise derive for a gather's transpose."""
+    would otherwise derive for a gather's transpose. Pad (t, k) pairs have
+    inv2 >= m_real and read an appended zero sentinel row, so pad tokens get
+    exactly zero gradient."""
     del inv2
     return x[tok]
 
 
 def _gather_rows_fwd(x, tok, inv2):
-    return x[tok], (inv2,)
+    return x[tok], (inv2, tok.shape[0])
 
 
 def _gather_rows_bwd(res, g):
-    (inv2,) = res
-    return (jnp.sum(g[inv2], axis=1), None, None)
+    inv2, m_real = res
+    g_ext = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)])
+    return (jnp.sum(g_ext[jnp.minimum(inv2, m_real)], axis=1), None, None)
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -488,20 +566,23 @@ _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 @jax.custom_vjp
 def _combine_rows(out, inv2, order):
     """Combine gather: y[t, k] = out[inv2[t, k]] (expert-sorted rows back to
-    token order). Backward is the forward permutation as a gather:
-    dout[m] = g.reshape(M, D)[order[m]] (order[m] is the flat (t·K+k) pair
-    at sorted position m) — again no scatter."""
+    token order; pad pairs, inv2 >= m_real = out.shape[0], read an appended
+    zero sentinel). Backward is the forward permutation as a gather:
+    dout[m] = g.reshape(T·K, D)[order[m]] (order[m] is the flat (t·K+k) pair
+    at sorted position m < m_real) — again no scatter."""
     del order
-    return out[inv2]
+    ext = jnp.concatenate([out, jnp.zeros((1,) + out.shape[1:], out.dtype)])
+    return ext[jnp.minimum(inv2, out.shape[0])]
 
 
 def _combine_rows_fwd(out, inv2, order):
-    return out[inv2], (order, out.shape)
+    ext = jnp.concatenate([out, jnp.zeros((1,) + out.shape[1:], out.dtype)])
+    return ext[jnp.minimum(inv2, out.shape[0])], (order, out.shape)
 
 
 def _combine_rows_bwd(res, g):
     order, out_shape = res
-    return (g.reshape(out_shape)[order], None, None)
+    return (g.reshape(-1, out_shape[-1])[order], None, None)
 
 
 _combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)

@@ -133,6 +133,36 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         probs = jax.device_get(infer(variables, wave))
     dt = time.time() - t0
     ms = dt / n_iters * 1e3
+
+    # True on-device latency (VERDICT r4 #6): the measured latency above
+    # includes the axon relay's dispatch + host-readback floor (~29-31 ms at
+    # batch 1 for EVERY model — BASELINE.md round 4). Amortize it away with a
+    # K-chained forward: each iteration's input is perturbed by the previous
+    # iteration's output, so XLA can neither CSE nor overlap the K serving
+    # passes; the incremental cost of one more pass is the pure device time.
+    #     device_ms = (t_chain − t_single) / (K − 1)
+    K = 9
+    raw_infer = make_infer(model, pipe)
+
+    @jax.jit
+    def infer_chain(variables, wave):
+        def body(_, acc):
+            p = raw_infer(variables, wave + acc)
+            return jnp.sum(p).astype(jnp.float32) * 1e-7
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    device_ms = None
+    try:
+        out = jax.device_get(infer_chain(variables, wave))  # compile+warmup
+        out = jax.device_get(infer_chain(variables, wave))
+        t0 = time.time()
+        for _ in range(n_iters):
+            out = jax.device_get(infer_chain(variables, wave))
+        ms_chain = (time.time() - t0) / n_iters * 1e3
+        device_ms = max((ms_chain - ms) / (K - 1), 0.0)
+    except Exception:  # best-effort: never fail the relay-path numbers
+        traceback.print_exc()
+
     result = {
         "variant": name,
         "batch": batch,
@@ -140,6 +170,10 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         "latency_ms": round(ms, 2),
         "clips_per_sec": round(batch * n_iters / dt, 1),
     }
+    if device_ms is not None:
+        result["device_ms"] = round(device_ms, 2)
+        result["device_clips_per_sec"] = round(batch / device_ms * 1e3, 1)
+        result["relay_overhead_ms"] = round(ms - device_ms, 2)
     print(json.dumps(result), flush=True)
     return result
 

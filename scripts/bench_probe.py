@@ -89,6 +89,10 @@ VARIANTS = {
     "ast_moe_scatter_b64": (64, dict(dispatch="scatter")),
     "ast_moe_einsum_b32": (32, dict(dispatch="einsum")),
     "ast_moe_expert_b64": (64, dict(router="expert", dispatch="einsum")),
+    # round-5 dropless grouped-matmul dispatch (VERDICT r4 #1): megablox gmm
+    # over expert-sorted rows, scatter-free gather VJPs (models/moe.py)
+    "ast_moe_ragged_b64": (64, dict(dispatch="ragged")),
+    "ast_moe_ragged_b32": (32, dict(dispatch="ragged")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
     # round-4 A/B ladder: custom backward kernel + tight pad-1664

@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> Path:
     ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--num-heads", type=int, default=12)
     ap.add_argument("--sample-rate", type=int, default=44_100)
+    ap.add_argument(
+        "--audit", action="store_true",
+        help="validate the checkpoint end-to-end (key/shape/transform audit "
+             "report) without writing the orbax artifact — the arrival-day "
+             "one-command check for real timm/AudioSet weights, which have "
+             "never transited this path in the zero-egress build "
+             "environment (PARITY_PROTOCOL.md open risk)")
     args = ap.parse_args(argv)
 
     # host-side tool: run on CPU, never touch the TPU compile queue
@@ -64,7 +71,33 @@ def main(argv: list[str] | None = None) -> Path:
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(0), jnp.zeros((1, 128, 128)), train=False
     )
-    params = load_torch_vit(variables["params"], raw, model)
+    audit: dict = {}
+    params = load_torch_vit(variables["params"], raw, model, audit=audit)
+    if args.audit:
+        print(f"== audit: {args.checkpoint} ==")
+        print(f"source keys: {audit['n_source_keys']} "
+              f"(consumed {len(audit['consumed'])}, "
+              f"ignored {len(audit['ignored'])}, "
+              f"leftover {len(audit['leftover'])})")
+        for note in audit["notes"]:
+            print(f"  transform: {note}")
+        for key in audit["ignored"]:
+            print(f"  ignored (head reinitialized for audio): {key}")
+        if audit["leftover"]:
+            print(f"  LEFTOVER (would fail strict load): {audit['leftover']}")
+        print(f"target: {audit['n_target_leaves']} param leaves, "
+              f"{audit['layout']} block layout — every mapped shape checked")
+        # numerical smoke: one forward through the converted params must be
+        # finite (catches dtype/NaN surprises in the file itself)
+        feats = jnp.zeros((1, 128, 128), jnp.float32)
+        out_probs = model.apply({"params": params}, feats, train=False)
+        finite = bool(jnp.all(jnp.isfinite(out_probs)))
+        print(f"forward smoke (zeros input): finite={finite}, "
+              f"output shape {tuple(out_probs.shape)}")
+        if not finite:
+            raise SystemExit("converted params produce non-finite outputs")
+        print("AUDIT OK — rerun without --audit to write the artifact")
+        return Path(args.out)
     out = save_params(
         args.out, params,
         meta={"source": str(args.checkpoint), "num_classes": args.num_classes,

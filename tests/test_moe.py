@@ -900,3 +900,32 @@ def test_ragged_gmm_pallas_interpret_matches_xla(monkeypatch):
                  True)  # interpret=True
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_matches_einsum_with_pads():
+    """Same agreement under encoder-wide padding (n_real < N): the ragged
+    path statically slices pad rows out of the grouped matmuls; values and
+    gradients must still match the einsum lowering at no-drop capacity."""
+    B, N, D, E, K, n_real = 2, 16, 8, 4, 2, 11
+    x = _tokens(B, N, D, seed=31)
+    se = MoeSpec(n_experts=E, top_k=K, capacity_factor=float(E),
+                 dispatch="einsum", group_size=16)
+    sr = dataclasses.replace(se, dispatch="ragged")
+    me = MoeMlp(D, se, ratio=2.0, n_real=n_real)
+    mr = MoeMlp(D, sr, ratio=2.0, n_real=n_real)
+    v = me.init(jax.random.key(7), x, train=False)
+
+    def loss(m):
+        def f(p, xx):
+            out, mut = m.apply({"params": p}, xx, train=False,
+                               mutable=["intermediates"])
+            return jnp.sum(out ** 2) + collect_moe_aux(mut["intermediates"])
+        return jax.value_and_grad(f, argnums=(0, 1))(v["params"], x)
+
+    la, ga = loss(me)
+    lb, gb = loss(mr)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=1e-5)
