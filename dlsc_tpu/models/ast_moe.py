@@ -36,9 +36,12 @@ def ASTMoE(
     aux_weight: float = 1e-2,
     router_z_weight: float = 1e-3,
     router: str = "token",      # 'token' (Switch/GShard) | 'expert' (Zhou 2022)
-    dispatch: str = "einsum",   # 'einsum' | 'scatter' — einsum measured 18%
-                                # faster fwd+bwd on TPU v5e (models/moe.py,
-                                # BASELINE.md round 3)
+    dispatch: str = "ragged",   # 'ragged' | 'einsum' | 'scatter' — ragged
+                                # (dropless grouped matmuls, models/moe.py)
+                                # measured +19% at the b64 train step vs
+                                # einsum (447 vs 535 ms, BASELINE.md round
+                                # 5); einsum is the EP lowering and the
+                                # expert-choice pairing
     group_size: int = 256,
     dtype: Any = jnp.bfloat16,
     attn_impl: str = "splash",
@@ -63,6 +66,8 @@ def ASTMoE(
         attn_dropout=attn_dropout,
         remat=remat,
         remat_policy=remat_policy,
+        # expert-choice is capacity-based by construction — pair it with the
+        # einsum lowering rather than erroring on the ragged default
         moe=MoeSpec(
             n_experts=n_experts,
             top_k=top_k,
@@ -70,7 +75,8 @@ def ASTMoE(
             aux_weight=aux_weight,
             router_z_weight=router_z_weight,
             router=router,
-            dispatch=dispatch,
+            dispatch=("einsum" if router == "expert" and dispatch == "ragged"
+                      else dispatch),
             group_size=group_size,
         ),
         expert_sharding=expert_sharding,

@@ -14,15 +14,20 @@ Design notes (TPU-first):
   / E) is computed from the static token count; over-capacity tokens are
   dropped (their block output is 0 and the Block residual passes them
   through — the standard Switch behavior).
-- Dispatch/combine default to the GShard one-hot einsum lowering with
-  routing groups of ≤256 tokens: the (G, S_g, E, C_g) one-hot operands are
-  bounded by the group size (not the full sequence), every op is an MXU
-  matmul, and zero scatters hit XLA:TPU's serializing scatter expander.
-  Measured on v5e (scripts/bench_moe.py, BASELINE.md round 3): einsum
-  fwd+bwd 21.0 ms vs scatter 25.8 ms at the AST-MoE shape, and 119.5 vs
-  99.9 clips/s at the full train step. A scatter-add/gather lowering
-  (O(tokens·D) HBM traffic) remains available as `dispatch='scatter'`;
-  it only wins back at the degenerate single full-sequence group.
+- Three dispatch lowerings (all measured on v5e — scripts/bench_moe.py,
+  scripts/bench_probe.py, BASELINE.md rounds 3+5):
+  * 'ragged' (round 5) — DROPLESS grouped matmuls (megablox gmm) over
+    expert-sorted rows with scatter-free gather VJPs and a static pad-row
+    slice. Fastest at the AST-MoE train step: 447 ms vs einsum's 535 at
+    b64 (+19%), and no token drops at all.
+  * 'einsum' — GShard one-hot matmuls with routing groups of ≤256 tokens:
+    one-hot operands bounded by the group size, every op an MXU matmul,
+    zero scatters. fwd+bwd 20.7 ms vs scatter 25.8 at the bench_moe block
+    shape. The EP path uses this lowering (its (B, E, C, D) capacity
+    buffers are what parallel/ep.py shards).
+  * 'scatter' — scatter-add/gather (O(tokens·D) HBM traffic); loses to the
+    serializing XLA:TPU scatter expander everywhere except the degenerate
+    single full-sequence group.
 - The router runs in f32 (bf16 gate logits destabilize top-k ordering);
   expert matmuls run in the model dtype (bf16 on TPU).
 - Aux losses (load-balance + router z-loss) are sown into the
@@ -39,6 +44,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint  # checkpoint_name is not reachable as a lazy attr
 import jax.numpy as jnp
 import numpy as np
 
@@ -412,24 +418,47 @@ class MoeMlp(nn.Module):
         inv2 = jnp.argsort(order_full).reshape(T, K)    # (t, k) -> sorted;
         order = order_full[:m_pad]                      # pad rows >= m_real
         m_real = m_pad
-        tok = order // K                            # sorted row -> token
         e_sorted = e_flat[order]
         dt = self.dtype
+        # 'moe_res' checkpoint names (remat_policy='attn_res_moe',
+        # vit.remat_kwargs): saving the pre-gelu grouped-matmul output lets
+        # the remat'd backward skip BOTH gmm re-forwards — gmm1's output is
+        # the saved tensor, and gmm2's lhs rebuilds from it elementwise
+        # (gelu+dropout). The index/weight tensors (~1 MB/block) are named
+        # too so the sort/router replay is also DCE'd. Cost: one
+        # (m_real, F) bf16 tensor per block (~274 MB at AST-MoE b64).
+        cname = jax.ad_checkpoint.checkpoint_name
+        order = cname(order, "moe_res")
+        inv2 = cname(inv2, "moe_res")
+        e_sorted = cname(e_sorted, "moe_res")
+        group_sizes = cname(group_sizes, "moe_res")
+        tok = order // K
         xs = _gather_rows(
             x.reshape(T, D).astype(dt), tok, inv2)  # (m_real, D)
         wi, bi, wo, bo = self._expert_params(E, F, D)
         bias = _row_bias(e_sorted, dt)                  # per-row expert bias
         h = _grouped_matmul(xs, wi.astype(dt), group_sizes)
-        h = nn.gelu(h + bias(bi), approximate=False)
+        h = cname(h + bias(bi), "moe_res")              # pre-gelu residual
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        out = _grouped_matmul(h, wo.astype(dt), group_sizes)
-        out = out + bias(bo)                            # (m_real, D)
+        out = _grouped_matmul(h, wo.astype(dt), group_sizes)  # (m_real, D)
         wk = topv.astype(dt)
         if valid is not None:
             wk = wk * valid[None, :, None].astype(dt)
+        wk = cname(wk, "moe_res")
         y = _combine_rows(out, inv2, order)             # (T, K, D); pad rows
         y = jnp.sum(y * wk.reshape(T, K)[..., None], axis=1)  # read the zero
-        return y.reshape(B, N, D)                       # sentinel row
+        y = y.reshape(B, N, D)                          # sentinel row
+        # bo applied in TOKEN space: y += Σ_k w_k · bo[e_(t,k)] contracts the
+        # (B,N,K,E) assignment one-hot with (E,D) — a tiny matmul instead of
+        # the (m_real, E) @ (E, D) row expansion in sorted space (the row-
+        # bias expansions cost ~23 ms/step at AST-MoE b64: nobias probe 426
+        # vs 449 ms; this halves that for free). Exact: same per-row bias,
+        # pad tokens masked by wk.
+        aw = jnp.sum(jax.nn.one_hot(topi, E, dtype=dt) * wk[..., None],
+                     axis=2)                            # (B, N, E)
+        y = y + aw @ bo.astype(dt)
+        return y
 
     def _ffn(self, buf, E: int, F: int, D: int, train: bool):
         """Stacked-expert FFN over (BG, E, C, D) capacity buffers — one

@@ -315,6 +315,13 @@ def remat_kwargs(remat_policy: str) -> dict:
     elif remat_policy == "attn_res_fc1":
         remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
             "attn_res", "mlp_fc1")
+    elif remat_policy == "attn_res_moe":
+        # attn_res + the MoE ragged-dispatch residuals (models/moe.py
+        # 'moe_res': pre-gelu grouped-matmul output + index tensors) — the
+        # remat'd backward skips both gmm re-forwards and the sort replay
+        # (~1 fwd MoE pass/block). +~274 MB/block at AST-MoE b64.
+        remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "moe_res")
     elif remat_policy != "full":
         raise ValueError(f"unknown remat_policy {remat_policy!r}")
     return remat_kw

@@ -93,6 +93,20 @@ VARIANTS = {
     # over expert-sorted rows, scatter-free gather VJPs (models/moe.py)
     "ast_moe_ragged_b64": (64, dict(dispatch="ragged")),
     "ast_moe_ragged_b32": (32, dict(dispatch="ragged")),
+    "ast_moe_ragged_t2048_b64": (64, dict(dispatch="ragged"),
+                                 {"DLSC_MOE_GMM_TILE": "2048,384,512"}),
+    "ast_moe_ragged_t768_b64": (64, dict(dispatch="ragged"),
+                                {"DLSC_MOE_GMM_TILE": "1024,384,768"}),
+    "ast_moe_ragged_nobias_b64": (64, dict(dispatch="ragged"),
+                                  {"DLSC_MOE_BIAS": "none"}),
+    "ast_moe_ragged_xla_b64": (64, dict(dispatch="ragged"),
+                               {"DLSC_MOE_GMM": "xla"}),
+    # moe_res remat: save the pre-gelu gmm output + index tensors so the
+    # backward skips both gmm re-forwards (vit.remat_kwargs attn_res_moe)
+    "ast_moe_ragged_res_b64": (64, dict(dispatch="ragged",
+                                        remat_policy="attn_res_moe")),
+    "ast_moe_ragged_res_b32": (32, dict(dispatch="ragged",
+                                        remat_policy="attn_res_moe")),
     # pure library defaults (pad-1792 + 896-blocks + attn_res + encoder_pad)
     "default_b64": (64, dict()),
     # round-4 A/B ladder: custom backward kernel + tight pad-1664
@@ -280,7 +294,8 @@ def main(argv: list[str]) -> None:
                     "DLSC_ATTN_FAST_PAD", "DLSC_ATTN_FAST_SPLIT",
                     "DLSC_ATTN_BWD", "DLSC_ATTN_BWD_BQ",
                     "DLSC_ATTN_BWD_SPLIT", "DLSC_LN_FUSED",
-                    "DLSC_ATTN_EXP2"):
+                    "DLSC_ATTN_EXP2", "DLSC_MOE_GMM_TILE",
+                    "DLSC_MOE_BIAS", "DLSC_MOE_GMM"):
             os.environ.pop(key, None)
         for k, v in (env[0] if env else {}).items():
             os.environ[k] = v
