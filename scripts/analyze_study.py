@@ -101,7 +101,8 @@ def param_importances_binned(trials) -> dict[str, float]:
 
 
 def analyze(study, out_dir: Path, export_csv: bool,
-            csv_path: Path | None = None, make_plots: bool = True) -> None:
+            csv_path: Path | None = None, make_plots: bool = True,
+            make_html: bool = False) -> None:
     trials = study.trials
     states = {s: len(study.trials_by_state(s)) for s in
               (TrialState.COMPLETE, TrialState.PRUNED, TrialState.FAIL,
@@ -149,6 +150,12 @@ def analyze(study, out_dir: Path, export_csv: bool,
     out_dir.mkdir(parents=True, exist_ok=True)
     if make_plots:
         _plots(study, imps_fanova or imps_binned or imps, out_dir)
+    if make_html:
+        from dlsc_tpu.hpo.report_html import write_html_reports
+
+        for pth in write_html_reports(
+                study, imps_fanova or imps_binned or imps, out_dir):
+            print(f"html → {pth}")
     if export_csv or csv_path is not None:
         path = csv_path or out_dir / f"{study.study_name}_trials.csv"
         names = sorted({k for t in trials for k in t.params})
@@ -320,6 +327,10 @@ def main(argv=None) -> None:
     p.add_argument("--no-plots", action="store_true",
                    help="skip plot generation (plots default on when neither "
                         "flag is given, matching prior behavior)")
+    p.add_argument("--html", action="store_true",
+                   help="also write the five interactive HTML reports "
+                        "(self-contained SVG+JS — the reference's plotly "
+                        "file set; dlsc_tpu/hpo/report_html.py)")
     p.add_argument("--export", metavar="CSV",
                    help="export trials to this CSV file")
     p.add_argument("--csv", action="store_true",
@@ -340,7 +351,7 @@ def main(argv=None) -> None:
     make_plots = not args.no_plots
     analyze(study, Path(args.out), args.csv,
             csv_path=Path(args.export) if args.export else None,
-            make_plots=make_plots)
+            make_plots=make_plots, make_html=args.html)
 
 
 if __name__ == "__main__":

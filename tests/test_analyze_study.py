@@ -144,3 +144,38 @@ def test_fanova_categorical_and_summary_key(tmp_path, capsys):
     summary = json.loads((out / "fcat_summary.json").read_text())
     assert max(summary["importances_fanova"],
                key=summary["importances_fanova"].get) == "arch"
+
+
+def test_html_reports(tmp_path, capsys):
+    """--html writes the five reference-parity interactive reports
+    (reference scripts/analyze_study.py:183-216 plotly file set) as
+    self-contained SVG+JS — no plotly/network dependency."""
+    db = tmp_path / "h.db"
+    study = Study("htmlme", db, "maximize", sampler=TPESampler(seed=1))
+
+    def objective(trial):
+        x = trial.suggest_float("lr", 1e-4, 1e-1, log=True)
+        wd = trial.suggest_float("wd", 0.0, 0.3)
+        for e in range(2):
+            trial.report(x * (e + 1), e)
+        return x - 0.05 * wd
+
+    study.optimize(objective, n_trials=12)
+
+    import scripts.analyze_study as A
+
+    out = tmp_path / "analysis"
+    A.main(["htmlme", "--storage", f"sqlite:///{db}", "--out", str(out),
+            "--no-plots", "--html"])
+    names = {p.name for p in out.iterdir()}
+    for f in ("optimization_history.html", "param_importances.html",
+              "parallel_coordinate.html", "contour.html", "slice.html"):
+        assert f in names, (f, names)
+    hist = (out / "optimization_history.html").read_text()
+    assert "<svg" in hist and "data-tip" in hist  # marks + hover payloads
+    assert "<script>" in hist
+    pc = (out / "parallel_coordinate.html").read_text()
+    assert "mousedown" in pc and "brushes" in pc  # axis drag-brushing JS
+    assert "lr" in pc and "wd" in pc
+    # every completed trial appears as a polyline with its params payload
+    assert pc.count('class="pt ln"') == 12
