@@ -384,9 +384,10 @@ class MoeMlp(nn.Module):
         scatter expander. Compared to the einsum lowering this removes the
         O(S·E·C) one-hot dispatch/combine einsums AND the 1.25× capacity
         overcompute, at the cost of one M-element sort pair. Pad tokens
-        (>= n_real) still occupy rows (their identical logits route them
-        somewhere) but combine with weight zero, so values and gradients
-        match the masked semantics exactly."""
+        (>= n_real) take the virtual expert id E, sort to the tail, and are
+        STATICALLY sliced out of the grouped matmuls; any pad rows kept by
+        the tile-grain rounding combine with weight zero, so values and
+        gradients match the masked semantics exactly (tests)."""
         T, M = B * N, B * N * K
         n_r = N if self.n_real is None else min(self.n_real, N)
         m_real = B * n_r * K                        # static: pads are a
@@ -403,9 +404,6 @@ class MoeMlp(nn.Module):
         group_sizes = jnp.sum(                      # (E,) sums to m_real
             jax.nn.one_hot(e_flat, E, dtype=jnp.float32), axis=0
         ).astype(jnp.int32)                         # (one_hot(E, E) == 0)
-        # two argsorts (the counting-rank cumsum alternative measured equal:
-        # 11.96 vs 11.74 ms/block on v5e, round-5 sweep — sorts are cheap
-        # relative to the gathers/matmuls at these sizes)
         # round the slice up to the gmm m-tile (megablox requires rows %
         # tile_m == 0); the extra rows are pad rows appended to the last
         # expert's group — computed but combine-weight-zero, so values and
@@ -414,6 +412,9 @@ class MoeMlp(nn.Module):
         m_pad = min(M, -(-m_real // tile_m) * tile_m)
         if m_pad > m_real:
             group_sizes = group_sizes.at[E - 1].add(m_pad - m_real)
+        # two argsorts (a counting-rank cumsum replacing the second one
+        # measured equal — 11.96 vs 11.74 ms/block on v5e, round-5 sweep:
+        # sorts are cheap relative to the gathers/matmuls at these sizes)
         order_full = jnp.argsort(e_flat, stable=True)   # sorted row -> flat
         inv2 = jnp.argsort(order_full).reshape(T, K)    # (t, k) -> sorted;
         order = order_full[:m_pad]                      # pad rows >= m_real
