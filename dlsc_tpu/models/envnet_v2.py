@@ -19,6 +19,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")  # kaiming
@@ -30,6 +31,7 @@ class _ConvBNRelu(nn.Module):
     kernel: Sequence[int]
     strides: Sequence[int] = (1, 1)
     dtype: Any = jnp.float32
+    bn_barrier: str | bool = "auto"  # see __call__; 'auto' = batch >= 48
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -38,6 +40,24 @@ class _ConvBNRelu(nn.Module):
             kernel_init=_conv_init, bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)
+        # Identity-semantics fusion barrier (round-5 root cause of the
+        # "bf16 b64 3.4 s/step" cliff, BASELINE.md): at (64, 57, 853, 32)
+        # with an (8, 8) kernel XLA:TPU fuses the BatchNorm statistics
+        # reduction INTO the conv and picks a degenerate lowering that
+        # re-evaluates the conv per reduction tile — 3028 ms forward for
+        # this ONE layer (not a dtype issue: BN-in-f32 still hits it; the
+        # barrier fixes it to 27 ms fwd / 90 ms fwd+bwd). Step-level:
+        # b64 bf16 3437 → 127 ms (502 clips/s, the ≥450 target finally
+        # met), fp32 b64 → 404 clips/s. At batch 32 the conv+BN fusion is
+        # actually GOOD (barrier costs −6% bf16 / −13% fp32), so 'auto'
+        # applies the barrier only at batch >= 48 — the batch is static
+        # under jit, so this is a trace-time choice, and b32 keeps the
+        # round-4 graphs bit-identically. Gradients pass through the
+        # barrier as identity.
+        apply_barrier = (x.shape[0] >= 48 if self.bn_barrier == "auto"
+                         else bool(self.bn_barrier))
+        if apply_barrier:
+            x = jax.lax.optimization_barrier(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
