@@ -69,6 +69,9 @@ class EnvNetV2(nn.Module):
     num_classes: int = 50
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    bn_barrier: str | bool = "auto"  # conv->BN fusion barrier (see
+                             # _ConvBNRelu; 'auto' = batch >= 48 — the
+                             # measured bf16-b64 cliff fix, BASELINE.md r5)
     pool_impl: str = "xla"   # 'xla': nn.max_pool reduce-window (default —
                              # measured FASTER); 'grab': argmax-capture
                              # custom-vjp pools whose backward is one fused
@@ -102,15 +105,18 @@ class EnvNetV2(nn.Module):
         x = x.reshape(B, 1, T, 1).astype(self.dtype)
 
         # ---- temporal front-end (reference :14-24) ----
-        x = _ConvBNRelu(32, (1, 64), (1, 2), self.dtype)(x, train)
-        x = _ConvBNRelu(64, (1, 16), (1, 2), self.dtype)(x, train)
+        x = _ConvBNRelu(32, (1, 64), (1, 2), self.dtype,
+                        self.bn_barrier)(x, train)
+        x = _ConvBNRelu(64, (1, 16), (1, 2), self.dtype,
+                        self.bn_barrier)(x, train)
         x = self._pool(x, (1, 64))
         # channels → frequency axis (reference swapaxes :82):
         # (B, 1, W, 64) → (B, 64, W, 1)
         x = jnp.transpose(x, (0, 3, 2, 1))
 
         # ---- 2-D trunk: conv-conv-pool x4 (reference :40-45) ----
-        block = partial(_ConvBNRelu, dtype=self.dtype)
+        block = partial(_ConvBNRelu, dtype=self.dtype,
+                        bn_barrier=self.bn_barrier)
         for feats, k1, k2, pool in (
             (32, (8, 8), (8, 8), (5, 3)),
             (64, (1, 4), (1, 4), (1, 2)),

@@ -275,3 +275,27 @@ def test_remat_policy_variants_match_gradients(key):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
             g_full, g)
+
+
+def test_envnet_bn_barrier_batch_gate():
+    """The conv→BN optimization barrier (round-5 bf16-b64 cliff fix) is
+    batch-gated: present in the jaxpr at b64, absent at b32 (which keeps
+    the round-4 graphs bit-identically), and overridable via bn_barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlsc_tpu.models.envnet_v2 import EnvNetV2
+
+    def jaxpr_for(batch, **kw):
+        m = EnvNetV2(num_classes=5, **kw)
+        x = jnp.zeros((batch, 220500))
+        v = m.init({"params": jax.random.key(0)}, x, train=False)
+        return str(jax.make_jaxpr(
+            lambda p, xx: m.apply({"params": p, **{k: v[k] for k in v
+                                                   if k != "params"}},
+                                  xx, train=False))(v["params"], x))
+
+    assert "optimization_barrier" in jaxpr_for(64)
+    assert "optimization_barrier" not in jaxpr_for(32)
+    assert "optimization_barrier" in jaxpr_for(32, bn_barrier=True)
+    assert "optimization_barrier" not in jaxpr_for(64, bn_barrier=False)
