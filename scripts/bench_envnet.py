@@ -30,6 +30,9 @@ VARIANTS = {
     "envnet_fp32_b64": ("envnet", 64, "float32"),
     "envnet_bf16_b64": ("envnet", 64, "bfloat16"),
     "envnet_bf16_b128": ("envnet", 128, "bfloat16"),
+    "envnet_fp32_b128": ("envnet", 128, "float32"),
+    "envnet_bf16_b256": ("envnet", 256, "bfloat16"),
+    "envnet_bf16_b512": ("envnet", 512, "bfloat16"),
     "leaf_fp32_b32": ("leaf", 32, "float32"),
     "leaf_bf16_b32": ("leaf", 32, "bfloat16"),
     # pool backward A/B (VERDICT r3 #8): argmax-capture custom-vjp pools
