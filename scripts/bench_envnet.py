@@ -35,6 +35,11 @@ VARIANTS = {
     "envnet_bf16_b512": ("envnet", 512, "bfloat16"),
     "leaf_fp32_b32": ("leaf", 32, "float32"),
     "leaf_bf16_b32": ("leaf", 32, "bfloat16"),
+    "leaf_bf16_b64": ("leaf", 64, "bfloat16"),
+    "leaf_bf16_b128": ("leaf", 128, "bfloat16"),
+    "cnn_fp32_b128": ("cnn", 128, "float32"),
+    "cnn_bf16_b128": ("cnn", 128, "bfloat16"),
+    "cnn_bf16_b256": ("cnn", 256, "bfloat16"),
     # pool backward A/B (VERDICT r3 #8): argmax-capture custom-vjp pools
     # (the new default, ops/pool.py) vs XLA reduce-window/select-and-scatter
     "envnet_xlapool_fp32_b32": ("envnet", 32, "float32",
@@ -64,6 +69,11 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
 
         model = EnvNetV2(num_classes=50, dtype=dtype, **(model_kw or {}))
         bc = True
+    elif which == "cnn":
+        from dlsc_tpu.models.cnn_esc50 import CNN_ESC50
+
+        model = CNN_ESC50(num_classes=50, dtype=dtype)
+        bc = False
     else:
         from dlsc_tpu.models.leaf import LeafModel
 
@@ -73,8 +83,8 @@ def run_variant(name: str, which: str, batch: int, dtype_name: str,
         bc = False
 
     pipe = DevicePipeline(PipelineConfig(
-        mode="envnet_v2", num_classes=50, enable_bc_mixing=bc,
-        window_length=5.0, padding_ratio=0.5,
+        mode="cnn_esc50" if which == "cnn" else "envnet_v2", num_classes=50,
+        enable_bc_mixing=bc, window_length=5.0, padding_ratio=0.5,
     ))
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.standard_normal((batch, 220_500)).astype(np.float32) * 0.3)
