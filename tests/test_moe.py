@@ -929,3 +929,35 @@ def test_ragged_matches_einsum_with_pads():
                       jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_ragged_attn_res_moe_remat_matches_attn_res():
+    """The 'attn_res_moe' remat policy only changes WHAT is saved — values
+    and gradients must equal the default 'attn_res' policy exactly (guards
+    the checkpoint_name plumbing in moe._ragged)."""
+    from dlsc_tpu.models.ast_moe import ASTMoE
+
+    def run(policy):
+        m = ASTMoE(num_classes=5, emb_dim=64, depth=2, num_heads=2,
+                   n_experts=4, dispatch="ragged", remat_policy=policy,
+                   dtype=jnp.float32, attn_impl="dense")
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, 128, 64)).astype(np.float32) * 0.1)
+        v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   x, train=False)
+
+        def f(p):
+            out = m.apply(
+                {"params": p, **{k: v[k] for k in v if k != "params"}},
+                x, train=True, rngs={"dropout": jax.random.key(2)})
+            return jnp.sum(out ** 2)
+
+        return jax.value_and_grad(f)(v["params"])
+
+    la, ga = run("attn_res")
+    lb, gb = run("attn_res_moe")
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
