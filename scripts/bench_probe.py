@@ -75,6 +75,8 @@ VARIANTS = {
     # attention the reference's in-attention dropout would force
     "ast_small_splash_b64": (64, dict(attn_impl="splash", remat=True,
                                       remat_policy="attn_res")),
+    "ast_small_splash_b128": (128, dict(attn_impl="splash", remat=True,
+                                        remat_policy="attn_res")),
     "ast_small_dense_b64": (64, dict(attn_impl="dense", attn_dropout=0.1,
                                      remat=True, remat_policy="full")),
     # dense does not compile at b64 (per-block (B,H,N,N) buffers); smaller
@@ -93,6 +95,7 @@ VARIANTS = {
     # over expert-sorted rows, scatter-free gather VJPs (models/moe.py)
     "ast_moe_ragged_b64": (64, dict(dispatch="ragged")),
     "ast_moe_ragged_b32": (32, dict(dispatch="ragged")),
+    "ast_moe_ragged_b128": (128, dict(dispatch="ragged")),
     "ast_moe_ragged_t2048_b64": (64, dict(dispatch="ragged"),
                                  {"DLSC_MOE_GMM_TILE": "2048,384,512"}),
     "ast_moe_ragged_t768_b64": (64, dict(dispatch="ragged"),
