@@ -39,7 +39,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import flax.linen as nn
@@ -155,10 +154,12 @@ class MoeMlp(nn.Module):
     materializes the dispatch/combine all-to-alls over ICI.
 
     Routing is per fixed-size token group (``spec.group_size``, GShard
-    semantics) with two dispatch lowerings sharing identical routing
-    decisions: ``spec.dispatch='scatter'`` (scatter-add/gather) or
-    ``'einsum'`` (one-hot matmuls, zero scatters) — A/B them on target
-    hardware; scripts/bench_moe.py measures both.
+    semantics) for the capacity lowerings, and global for the dropless one.
+    Three dispatch lowerings share identical routing decisions:
+    ``spec.dispatch='scatter'`` (scatter-add/gather), ``'einsum'`` (one-hot
+    matmuls, zero scatters), and ``'ragged'`` (dropless grouped matmuls
+    over expert-sorted rows — no capacity at all) — A/B them on target
+    hardware; scripts/bench_moe.py measures all three.
     """
 
     dim: int
@@ -224,6 +225,14 @@ class MoeMlp(nn.Module):
         if valid is not None:
             assign = assign * valid[None, :, None, None]  # pad: no assignment
 
+        # load-balance loss over REAL tokens (identical for every
+        # token-choice lowering — routing decisions are shared; pre-weighted,
+        # collected by the train step)
+        frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv  # routed fraction
+        gv = gates if valid is None else gates * valid[None, :, None]
+        prob = jnp.sum(gv, axis=(0, 1)) / nv                  # mean gate prob
+        aux = aux + self.spec.aux_weight * E * jnp.sum(frac * prob)
+
         if self.spec.dispatch == "ragged" and self.expert_sharding is None:
             # dropless grouped-matmul dispatch: no capacity, no one-hot
             # dispatch operands; drop_frac is 0 by construction
@@ -231,14 +240,7 @@ class MoeMlp(nn.Module):
             self._sow_stats(
                 jnp.zeros((), jnp.float32), jnp.sum(assign, axis=(0, 1, 2)))
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
-            frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv
-            gv = gates if valid is None else gates * valid[None, :, None]
-            prob = jnp.sum(gv, axis=(0, 1)) / nv
-            balance = E * jnp.sum(frac * prob)
-            self.sow(
-                "intermediates", "moe_aux",
-                aux + self.spec.aux_weight * balance,
-            )
+            self.sow("intermediates", "moe_aux", aux)
             return y
 
         # --- capacity positions per group (stage-major priority: all 1st
@@ -297,16 +299,7 @@ class MoeMlp(nn.Module):
                 got * (wk.reshape(B * G, S, K))[..., None], axis=2
             ).reshape(B, N, D)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-
-        # --- load-balance loss over REAL tokens (token-choice only; pre-
-        # weighted, collected by the train step) -----------------------------
-        frac = jnp.sum(assign[:, :, 0, :], axis=(0, 1)) / nv  # routed fraction
-        gv = gates if valid is None else gates * valid[None, :, None]
-        prob = jnp.sum(gv, axis=(0, 1)) / nv                  # mean gate prob
-        balance = E * jnp.sum(frac * prob)
-        self.sow(
-            "intermediates", "moe_aux", aux + self.spec.aux_weight * balance,
-        )
+        self.sow("intermediates", "moe_aux", aux)
         return y
 
     def _sow_stats(self, drop_frac, load):

@@ -77,7 +77,7 @@ def main(which: list[str]) -> None:
         if which[0] == "ragged_xla":
             os.environ["DLSC_MOE_GMM"] = "xla"
         modes = [("token", "ragged")]
-        which = which[1:]
+        which = which[1:] or ["fwd", "grad"]
     for router, dispatch in modes:
         group_sizes = (256,) if dispatch == "ragged" else (256, 448, N)
         for gs in group_sizes:

@@ -63,7 +63,9 @@ def download_and_extract(name: str, out_root: Path) -> Path:
         import tarfile
 
         with tarfile.open(archive, "r:gz") as t:
-            t.extractall(out_root)
+            # filter='data' pins safe extraction semantics (rejects absolute
+            # paths / path traversal; the py3.14 default, explicit here)
+            t.extractall(out_root, filter="data")
     else:
         with zipfile.ZipFile(archive) as z:
             z.extractall(out_root)

@@ -28,7 +28,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(argv: list[str] | None = None) -> Path:
+def main(argv: list[str] | None = None) -> Path | None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True, help="timm/DeiT .pth file")
     ap.add_argument("--out", required=True, help="output orbax directory")
@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> Path:
         if not finite:
             raise SystemExit("converted params produce non-finite outputs")
         print("AUDIT OK — rerun without --audit to write the artifact")
-        return Path(args.out)
+        return None  # nothing was written — no artifact path to hand back
     out = save_params(
         args.out, params,
         meta={"source": str(args.checkpoint), "num_classes": args.num_classes,
