@@ -38,6 +38,14 @@ VARIANTS = {
     "ast_small_b8": ("ast_small", 8, "bfloat16", {}),
     "ast_small_b64": ("ast_small", 64, "bfloat16", {}),
     "ast_mini_b64": ("ast_mini", 64, "bfloat16", {}),
+    # round-5 big-batch serving rows (inference holds no backward
+    # activations — batch can scale past the training limits)
+    "ast_b128": ("ast", 128, "bfloat16", {}),
+    "ast_small_b128": ("ast_small", 128, "bfloat16", {}),
+    "ast_mini_b128": ("ast_mini", 128, "bfloat16", {}),
+    "ast_moe_b64": ("ast_moe", 64, "bfloat16", {}),
+    "envnet_b128": ("envnet_v2", 128, "float32", {}),
+    "cnn_b256": ("cnn_esc50", 256, "float32", {}),
     "ast_moe_b32": ("ast_moe", 32, "bfloat16", {}),
     # int8 w8a8 serving quantization (ops/quant.py)
     "ast_int8_b1": ("ast", 1, "bfloat16", {}, "w8a8"),
