@@ -53,9 +53,13 @@ class _ConvBNRelu(nn.Module):
         # applies the barrier only at batch >= 48 — the batch is static
         # under jit, so this is a trace-time choice, and b32 keeps the
         # round-4 graphs bit-identically. Gradients pass through the
-        # barrier as identity.
-        apply_barrier = (x.shape[0] >= 48 if self.bn_barrier == "auto"
-                         else bool(self.bn_barrier))
+        # barrier as identity. Training only: in eval BN uses running stats
+        # (no reduction to fuse), and the barrier measurably COSTS ~3-4 ms
+        # of eval forward at b64/b128 (round-5 probe) — so inference keeps
+        # the unbarriered graphs at every batch size.
+        apply_barrier = train and (
+            x.shape[0] >= 48 if self.bn_barrier == "auto"
+            else bool(self.bn_barrier))
         if apply_barrier:
             x = jax.lax.optimization_barrier(x)
         x = nn.BatchNorm(

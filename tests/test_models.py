@@ -279,23 +279,31 @@ def test_remat_policy_variants_match_gradients(key):
 
 def test_envnet_bn_barrier_batch_gate():
     """The conv→BN optimization barrier (round-5 bf16-b64 cliff fix) is
-    batch-gated: present in the jaxpr at b64, absent at b32 (which keeps
-    the round-4 graphs bit-identically), and overridable via bn_barrier."""
+    batch- AND train-gated: present in the train jaxpr at b64, absent at
+    b32 (which keeps the round-4 graphs bit-identically) and absent in
+    EVERY eval graph (running-stats BN has no reduction to protect, and
+    the barrier costs ~3-4 ms of eval forward — measured)."""
     import jax
     import jax.numpy as jnp
 
     from dlsc_tpu.models.envnet_v2 import EnvNetV2
 
-    def jaxpr_for(batch, **kw):
+    def jaxpr_for(batch, train=True, **kw):
         m = EnvNetV2(num_classes=5, **kw)
         x = jnp.zeros((batch, 220500))
-        v = m.init({"params": jax.random.key(0)}, x, train=False)
-        return str(jax.make_jaxpr(
-            lambda p, xx: m.apply({"params": p, **{k: v[k] for k in v
-                                                   if k != "params"}},
-                                  xx, train=False))(v["params"], x))
+        v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   x, train=False)
+        def apply(p, xx):
+            out = m.apply({"params": p, **{k: v[k] for k in v
+                                           if k != "params"}},
+                          xx, train=train,
+                          rngs={"dropout": jax.random.key(2)} if train else {},
+                          mutable=["batch_stats"] if train else [])
+            return out
+        return str(jax.make_jaxpr(apply)(v["params"], x))
 
     assert "optimization_barrier" in jaxpr_for(64)
     assert "optimization_barrier" not in jaxpr_for(32)
+    assert "optimization_barrier" not in jaxpr_for(64, train=False)
     assert "optimization_barrier" in jaxpr_for(32, bn_barrier=True)
     assert "optimization_barrier" not in jaxpr_for(64, bn_barrier=False)
